@@ -88,8 +88,11 @@ class CosineSchedule:
         """
         pairs = ddim_time_pairs(self.timesteps, sampling_timesteps)
         t_arr, an_sqrt, c_arr, sig_arr, last = [], [], [], [], []
+        recip, recipm1 = [], []
         for time, time_next in pairs:
             t_arr.append(time)
+            recip.append(self.sqrt_recip_alphas_cumprod[time])
+            recipm1.append(self.sqrt_recipm1_alphas_cumprod[time])
             if time_next < 0:
                 an_sqrt.append(0.0)
                 c_arr.append(0.0)
@@ -113,4 +116,8 @@ class CosineSchedule:
             "c": f32(c_arr),
             "sigma": f32(sig_arr),
             "is_last": f32(last),
+            # for predict_noise_from_start at step time t
+            # (reference: common/diffusionpose.py:129-133)
+            "sqrt_recip_ac": f32(recip),
+            "sqrt_recipm1_ac": f32(recipm1),
         }
