@@ -1,0 +1,92 @@
+"""Benchmark: DDIM sampling throughput of the flagship D3DP model on one chip.
+
+Config = the paper's quick-eval headline (README.md:37-40 of the reference):
+H=5 proposals, K=5 DDIM steps, batch of 4 windows x 243 frames x 17 joints,
+flip test-time augmentation on — i.e. per call the sampler runs K scan steps,
+each one flip-fused MixSTE2 forward over a 2*B*H batch, and emits all K
+intermediate hypothesis sets (B,K,H,F,17,3), exactly what the evaluator
+scores.
+
+Metric: hypothesis-frames per second per chip =
+    B * H * F * K / wall_seconds_per_call
+counting every DDIM iteration's emitted hypothesis set (all K are returned
+and scored by the metric suite, reference loss.py:78-107).
+
+vs_baseline: ratio to an ANALYTIC estimate of the PyTorch reference on A100:
+the reference runs 2 separate fp32 forwards per DDIM step (flip TTA,
+diffusionpose.py:155-156; fp32 CUDA cores — torch matmul TF32 is off by
+default and the reference pins deterministic kernels, main.py:38-39).
+FLOPs/forward ~= 2 * params(33.7e6) * token-positions(B*H*F*17) = 5.57 TF;
+at 35% util of 19.5 fp32 TFLOP/s -> ~8.2 s/call -> ~3000 hyp-frames/s.
+REFERENCE_HF_PER_SEC below freezes that estimate.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_HF_PER_SEC = 3000.0
+
+B, H, K, F, J = 4, 5, 5, 243, 17
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from d3dp_tpu.diffusion import D3DP, D3DPConfig
+    from d3dp_tpu.models import MixSTEConfig
+
+    dev = jax.devices()[0]
+
+    d3dp = D3DP(
+        D3DPConfig(
+            model=MixSTEConfig(
+                num_frames=F,
+                embed_dim=512,
+                depth=8,
+                dtype=jnp.bfloat16,  # fast path; fp32 parity is tested in CI
+            ),
+            num_proposals=H,
+            sampling_timesteps=K,
+        )
+    )
+    params = d3dp.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    x2d = jnp.asarray(rng.randn(B, F, J, 2) * 0.3, jnp.float32)
+    x2d_flip = jnp.asarray(rng.randn(B, F, J, 2) * 0.3, jnp.float32)
+
+    sample = jax.jit(lambda p, k: d3dp.sample(p, k, x2d, x2d_flip))
+
+    # warmup/compile
+    sample(params, jax.random.PRNGKey(1)).block_until_ready()
+
+    n_iter = 10
+    keys = [jax.random.PRNGKey(i) for i in range(2, 2 + n_iter)]
+    start = time.perf_counter()
+    for k in keys:
+        out = sample(params, k)
+    out.block_until_ready()
+    elapsed = (time.perf_counter() - start) / n_iter
+
+    hf_per_sec = B * H * F * K / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "sampling_hypothesis_frames_per_sec_per_chip",
+                "value": round(hf_per_sec, 1),
+                "unit": "hyp*frames/s",
+                "vs_baseline": round(hf_per_sec / REFERENCE_HF_PER_SEC, 2),
+                "detail": {
+                    "config": f"B={B} H={H} K={K} F={F} flip_tta=on bf16",
+                    "seconds_per_call": round(elapsed, 4),
+                    "device": str(dev),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

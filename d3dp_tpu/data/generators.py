@@ -1,0 +1,240 @@
+"""Host-side batch generators for training and evaluation.
+
+Capability + semantics parity with the reference (common/generators.py):
+identical chunk boundaries (centred offset), edge padding, horizontal-flip
+augmentation (incl. camera distortion sign flips), per-epoch shuffling from a
+dedicated np.random.RandomState whose state is checkpointable for exact
+resume. Written vectorised-per-batch instead of the reference's per-sample
+copy loops, and with an optional fixed-size batch mode (`pad_last`) that
+pads the final partial batch and returns a weight mask — XLA recompiles on
+shape changes, so the TPU train step wants every batch the same shape.
+"""
+
+import numpy as np
+
+
+class ChunkedGenerator:
+    """Training generator: shuffled fixed-length chunks with flip augment.
+
+    (reference: common/generators.py:12-171; dict-keyed 3DHP variant
+    common/generators_3dhp.py is subsumed via the optional `keys` argument)
+    """
+
+    def __init__(self, batch_size, cameras, poses_3d, poses_2d, chunk_length,
+                 pad=0, causal_shift=0, shuffle=True, random_seed=1234,
+                 augment=False, kps_left=None, kps_right=None,
+                 joints_left=None, joints_right=None, endless=False,
+                 pad_last=False):
+        assert poses_3d is None or len(poses_3d) == len(poses_2d), (
+            len(poses_3d), len(poses_2d))
+        assert cameras is None or len(cameras) == len(poses_2d)
+
+        # chunk lineage: (seq_idx, start, end, flip) with centred offset
+        pairs = []
+        for i in range(len(poses_2d)):
+            assert poses_3d is None or poses_2d[i].shape[0] == poses_3d[i].shape[0]
+            n_chunks = (poses_2d[i].shape[0] + chunk_length - 1) // chunk_length
+            offset = (n_chunks * chunk_length - poses_2d[i].shape[0]) // 2
+            bounds = np.arange(n_chunks + 1) * chunk_length - offset
+            augment_vector = np.full(len(bounds - 1), False, dtype=bool)
+            pairs += zip(np.repeat(i, len(bounds - 1)), bounds[:-1], bounds[1:],
+                         augment_vector)
+            if augment:
+                pairs += zip(np.repeat(i, len(bounds - 1)), bounds[:-1],
+                             bounds[1:], ~augment_vector)
+
+        self.num_batches = (len(pairs) + batch_size - 1) // batch_size
+        self.batch_size = batch_size
+        self.random = np.random.RandomState(random_seed)
+        self.pairs = pairs
+        self.shuffle = shuffle
+        self.pad = pad
+        self.causal_shift = causal_shift
+        self.endless = endless
+        self.state = None
+        self.pad_last = pad_last
+        self.chunk_length = chunk_length
+
+        self.cameras = cameras
+        self.poses_3d = poses_3d
+        self.poses_2d = poses_2d
+
+        self.augment = augment
+        self.kps_left = kps_left
+        self.kps_right = kps_right
+        self.joints_left = joints_left
+        self.joints_right = joints_right
+
+    def num_frames(self):
+        return self.num_batches * self.batch_size
+
+    def batch_num(self):
+        return self.num_batches
+
+    def random_state(self):
+        return self.random
+
+    def set_random_state(self, random):
+        self.random = random
+
+    def augment_enabled(self):
+        return self.augment
+
+    def next_pairs(self):
+        if self.state is None:
+            if self.shuffle:
+                pairs = self.random.permutation(self.pairs)
+            else:
+                pairs = self.pairs
+            return 0, pairs
+        return self.state
+
+    def _extract(self, seqs, seq_i, start, end):
+        """Chunk [start, end) of seqs[seq_i] with edge padding."""
+        seq = seqs[seq_i]
+        low = max(start, 0)
+        high = min(end, seq.shape[0])
+        chunk = seq[low:high]
+        pad_left, pad_right = low - start, end - high
+        if pad_left or pad_right:
+            pad = [(pad_left, pad_right)] + [(0, 0)] * (seq.ndim - 1)
+            chunk = np.pad(chunk, pad, "edge")
+        return chunk
+
+    def next_epoch(self):
+        enabled = True
+        while enabled:
+            start_idx, pairs = self.next_pairs()
+            for b_i in range(start_idx, self.num_batches):
+                chunks = pairs[b_i * self.batch_size : (b_i + 1) * self.batch_size]
+                n = len(chunks)
+                bs = self.batch_size if self.pad_last else n
+
+                batch_2d = np.empty(
+                    (bs, self.chunk_length) + self.poses_2d[0].shape[1:],
+                    dtype=np.float32)
+                batch_3d = None
+                if self.poses_3d is not None:
+                    batch_3d = np.empty(
+                        (bs, self.chunk_length) + self.poses_3d[0].shape[1:],
+                        dtype=np.float32)
+                batch_cam = None
+                if self.cameras is not None:
+                    batch_cam = np.empty((bs, self.cameras[0].shape[-1]),
+                                         dtype=np.float32)
+                weights = np.zeros((bs,), dtype=np.float32)
+
+                for i, (seq_i, start, end, flip) in enumerate(chunks):
+                    seq_i, start, end = int(seq_i), int(start), int(end)
+                    weights[i] = 1.0
+                    chunk_2d = self._extract(self.poses_2d, seq_i, start, end)
+                    if flip:
+                        chunk_2d = chunk_2d.copy()
+                        chunk_2d[..., 0] *= -1
+                        chunk_2d[:, self.kps_left + self.kps_right] = chunk_2d[
+                            :, self.kps_right + self.kps_left]
+                    batch_2d[i] = chunk_2d
+
+                    if batch_3d is not None:
+                        chunk_3d = self._extract(self.poses_3d, seq_i, start, end)
+                        if flip:
+                            chunk_3d = chunk_3d.copy()
+                            chunk_3d[..., 0] *= -1
+                            chunk_3d[:, self.joints_left + self.joints_right] = (
+                                chunk_3d[:, self.joints_right + self.joints_left])
+                        batch_3d[i] = chunk_3d
+
+                    if batch_cam is not None:
+                        cam = np.array(self.cameras[seq_i], dtype=np.float32)
+                        if flip:
+                            cam[2] *= -1  # principal point cx
+                            cam[7] *= -1  # tangential p1
+                        batch_cam[i] = cam
+
+                if self.pad_last and n < bs:
+                    # pad rows replicate row 0; weights stay 0 -> masked out
+                    batch_2d[n:] = batch_2d[0]
+                    if batch_3d is not None:
+                        batch_3d[n:] = batch_3d[0]
+                    if batch_cam is not None:
+                        batch_cam[n:] = batch_cam[0]
+
+                if self.endless:
+                    self.state = (b_i + 1, pairs)
+
+                if self.pad_last:
+                    yield batch_cam, batch_3d, batch_2d, weights
+                else:
+                    yield batch_cam, batch_3d, batch_2d
+
+            if self.endless:
+                self.state = None
+            else:
+                enabled = False
+
+
+class UnchunkedGenerator:
+    """Evaluation generator: one whole sequence per step (+optional flipped
+    duplicate). (reference: common/generators.py:174-249; the 3DHP dict
+    variant's extra (valid_frame, key) yield is provided via `valid_frames`
+    and `keys`.)
+    """
+
+    def __init__(self, cameras, poses_3d, poses_2d, pad=0, causal_shift=0,
+                 augment=False, kps_left=None, kps_right=None,
+                 joints_left=None, joints_right=None,
+                 valid_frames=None, keys=None):
+        assert poses_3d is None or len(poses_3d) == len(poses_2d)
+        assert cameras is None or len(cameras) == len(poses_2d)
+
+        self.augment = False
+        self.kps_left = kps_left
+        self.kps_right = kps_right
+        self.joints_left = joints_left
+        self.joints_right = joints_right
+        self.pad = pad
+        self.causal_shift = causal_shift
+        self.cameras = [] if cameras is None else cameras
+        self.poses_3d = [] if poses_3d is None else poses_3d
+        self.poses_2d = poses_2d
+        self.valid_frames = valid_frames
+        self.keys = keys
+
+    def num_frames(self):
+        return sum(p.shape[0] for p in self.poses_2d)
+
+    def augment_enabled(self):
+        return self.augment
+
+    def set_augment(self, augment):
+        self.augment = augment
+
+    def next_epoch(self):
+        from itertools import zip_longest
+
+        for idx, (seq_cam, seq_3d, seq_2d) in enumerate(
+            zip_longest(self.cameras, self.poses_3d, self.poses_2d)
+        ):
+            batch_cam = None if seq_cam is None else np.expand_dims(seq_cam, 0)
+            batch_3d = None if seq_3d is None else np.expand_dims(seq_3d, 0)
+            batch_2d = None if seq_2d is None else np.expand_dims(seq_2d, 0)
+            if self.augment:
+                if batch_cam is not None:
+                    batch_cam = np.concatenate((batch_cam, batch_cam), axis=0)
+                    batch_cam[1, 2] *= -1
+                    batch_cam[1, 7] *= -1
+                if batch_3d is not None:
+                    batch_3d = np.concatenate((batch_3d, batch_3d), axis=0)
+                    batch_3d[1, :, :, 0] *= -1
+                    batch_3d[1, :, self.joints_left + self.joints_right] = (
+                        batch_3d[1, :, self.joints_right + self.joints_left])
+                batch_2d = np.concatenate((batch_2d, batch_2d), axis=0)
+                batch_2d[1, :, :, 0] *= -1
+                batch_2d[1, :, self.kps_left + self.kps_right] = (
+                    batch_2d[1, :, self.kps_right + self.kps_left])
+
+            if self.valid_frames is not None:
+                key = self.keys[idx] if self.keys is not None else idx
+                yield batch_cam, batch_3d, batch_2d, self.valid_frames[idx], key
+            else:
+                yield batch_cam, batch_3d, batch_2d

@@ -21,7 +21,9 @@ def normalize_screen_coordinates(X, w, h):
     """
     assert X.shape[-1] == 2
     if isinstance(X, np.ndarray):
-        return X / w * 2 - np.array([1, h / w], dtype=X.dtype)
+        # float64 offset, like the reference's bare Python list — callers
+        # downcast afterwards; doing it here loses the last fp32 ulp
+        return X / w * 2 - np.array([1, h / w])
     return X / w * 2 - jnp.asarray([1.0, h / w], dtype=X.dtype)
 
 
@@ -29,7 +31,7 @@ def image_coordinates(X, w, h):
     """Inverse of :func:`normalize_screen_coordinates`. (camera.py:14-18)"""
     assert X.shape[-1] == 2
     if isinstance(X, np.ndarray):
-        return (X + np.array([1, h / w], dtype=X.dtype)) * w / 2
+        return (X + np.array([1, h / w])) * w / 2
     return (X + jnp.asarray([1.0, h / w], dtype=X.dtype)) * w / 2
 
 

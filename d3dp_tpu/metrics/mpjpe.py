@@ -35,24 +35,42 @@ def mpjpe(predicted, target, return_joints_err=False):
     return jnp.mean(errors)
 
 
-def mpjpe_diffusion(predicted, target, mean_pos=False):
-    """P-Best (default) or P-Agg (mean_pos) MPJPE, -> (K,). (loss.py:78-107)"""
+def _wmean(errors, weights, keep_axes):
+    """Mean of `errors` over all axes except `keep_axes`, with optional (B,)
+    0/1 `weights` masking padded rows of axis 0 (fixed-shape eval batches)."""
+    reduce_axes = tuple(a for a in range(errors.ndim) if a not in keep_axes)
+    if weights is None:
+        return jnp.mean(errors, axis=reduce_axes)
+    w = weights.reshape((-1,) + (1,) * (errors.ndim - 1)).astype(errors.dtype)
+    n_other = 1
+    for a in reduce_axes:
+        if a != 0:
+            n_other *= errors.shape[a]
+    return jnp.sum(errors * w, axis=reduce_axes) / (jnp.sum(weights) * n_other)
+
+
+def mpjpe_diffusion(predicted, target, mean_pos=False, weights=None):
+    """P-Best (default) or P-Agg (mean_pos) MPJPE, -> (K,). (loss.py:78-107)
+
+    `weights`: optional (B,) 0/1 mask excluding padded windows from the mean
+    (our eval pads micro-batches to a fixed shape for XLA).
+    """
     if not mean_pos:
         errors = _norm(predicted - target[:, None, None])  # (B,K,H,F,J)
-        per_kh = jnp.mean(errors, axis=(0, 3, 4))  # (K,H)
+        per_kh = _wmean(errors, weights, keep_axes=(1, 2))  # (K,H)
         return jnp.min(per_kh, axis=1)
     mean_pose = jnp.mean(predicted, axis=2)  # (B,K,F,J,3)
-    errors = _norm(mean_pose - target[:, None])
-    return jnp.mean(errors, axis=(0, 2, 3))
+    errors = _norm(mean_pose - target[:, None])  # (B,K,F,J)
+    return _wmean(errors, weights, keep_axes=(1,))
 
 
-def mpjpe_diffusion_all_min(predicted, target, mean_pos=False):
+def mpjpe_diffusion_all_min(predicted, target, mean_pos=False, weights=None):
     """J-Best (per-joint oracle over H) or P-Agg, -> (K,). (loss.py:22-52)"""
     if not mean_pos:
         errors = _norm(predicted - target[:, None, None])  # (B,K,H,F,J)
         min_errors = jnp.min(errors, axis=2)  # (B,K,F,J)
-        return jnp.mean(min_errors, axis=(0, 2, 3))
-    return mpjpe_diffusion(predicted, target, mean_pos=True)
+        return _wmean(min_errors, weights, keep_axes=(1,))
+    return mpjpe_diffusion(predicted, target, mean_pos=True, weights=weights)
 
 
 def joint_select_by_reproj(errors_2d):
@@ -65,7 +83,7 @@ def joint_select_by_reproj(errors_2d):
     return jax.nn.one_hot(idx, errors_2d.shape[2], axis=2, dtype=errors_2d.dtype)
 
 
-def mpjpe_diffusion_reproj(predicted, target, reproj_2d, target_2d):
+def mpjpe_diffusion_reproj(predicted, target, reproj_2d, target_2d, weights=None):
     """J-Agg / JPMA: per-joint hypothesis by 2D reprojection, -> (K,).
 
     reproj_2d: (B,K,H,F,J,2) projections of hypotheses; target_2d: (B,F,J,2).
@@ -75,7 +93,7 @@ def mpjpe_diffusion_reproj(predicted, target, reproj_2d, target_2d):
     errors_2d = _norm(reproj_2d - target_2d[:, None, None])  # (B,K,H,F,J)
     onehot = joint_select_by_reproj(errors_2d)
     errors_select = jnp.sum(errors * onehot, axis=2)  # (B,K,F,J)
-    return jnp.mean(errors_select, axis=(0, 2, 3))
+    return _wmean(errors_select, weights, keep_axes=(1,))
 
 
 def mpjpe_diffusion_3dhp(predicted, target, valid_frame, mean_pos=False):
