@@ -1,0 +1,156 @@
+"""CLI argument surface, compatible with the reference
+(common/arguments.py:10-125) plus TPU-native extensions.
+
+Every reference flag is accepted with the same name and default so existing
+command lines keep working (`main.py -k cpn_ft_h36m_dbb -c checkpoint ...`).
+Flags for features the reference left dead (postrf, ft2d, ...) are accepted
+and validated but may be inert — documented per flag.
+"""
+
+import argparse
+
+
+def build_parser(in_the_wild=False):
+    parser = argparse.ArgumentParser(description="Training script")
+
+    # General arguments (reference arguments.py:14-36)
+    parser.add_argument("-d", "--dataset", default="h36m", type=str, metavar="NAME",
+                        help="target dataset: h36m | synthetic")
+    parser.add_argument("-k", "--keypoints", default="cpn_ft_h36m_dbb", type=str,
+                        metavar="NAME", help="2D detections to use")
+    parser.add_argument("-str", "--subjects-train", default="S1,S5,S6,S7,S8",
+                        type=str, metavar="LIST")
+    parser.add_argument("-ste", "--subjects-test", default="S9,S11", type=str,
+                        metavar="LIST")
+    parser.add_argument("-sun", "--subjects-unlabeled", default="", type=str,
+                        metavar="LIST")
+    parser.add_argument("-a", "--actions", default="*", type=str, metavar="LIST")
+    parser.add_argument("-c", "--checkpoint", default="", type=str, metavar="PATH",
+                        help="checkpoint directory")
+    parser.add_argument("-l", "--log", default="log/default", type=str,
+                        metavar="PATH")
+    parser.add_argument("-cf", "--checkpoint-frequency", default=20, type=int,
+                        metavar="N")
+    parser.add_argument("-r", "--resume", default="", type=str, metavar="FILENAME")
+    parser.add_argument("--nolog", action="store_true")
+    parser.add_argument("--evaluate", default="", type=str, metavar="FILENAME")
+    parser.add_argument("--render", action="store_true")
+    parser.add_argument("--by-subject", action="store_true")
+    parser.add_argument("--export-training-curves", action="store_true")
+
+    # Model arguments (reference arguments.py:39-59)
+    stride_default = 1 if in_the_wild else 243
+    epochs_default = 120 if in_the_wild else 400
+    lr_default = 4e-5 if in_the_wild else 6e-5
+    lrd_default = 0.99 if in_the_wild else 0.993
+    parser.add_argument("-s", "--stride", default=stride_default, type=int, metavar="N")
+    parser.add_argument("-e", "--epochs", default=epochs_default, type=int, metavar="N")
+    parser.add_argument("-b", "--batch-size", default=1024, type=int, metavar="N",
+                        help="batch size in terms of predicted frames")
+    parser.add_argument("-drop", "--dropout", default=0.0, type=float, metavar="P")
+    parser.add_argument("-lr", "--learning-rate", default=lr_default, type=float)
+    parser.add_argument("-lrd", "--lr-decay", default=lrd_default, type=float)
+    parser.add_argument("--coverlr", action="store_true")
+    parser.add_argument("-mloss", "--min_loss", default=100000, type=float)
+    parser.add_argument("-no-da", "--no-data-augmentation",
+                        dest="data_augmentation", action="store_false")
+    parser.add_argument("-cs", default=512, type=int, help="model channel width")
+    parser.add_argument("-dep", default=8, type=int, help="model depth")
+    parser.add_argument("-alpha", default=0.01, type=float)
+    parser.add_argument("-beta", default=2, type=float)
+    parser.add_argument("--postrf", action="store_true",
+                        help="accepted for compatibility (dead in reference)")
+    parser.add_argument("--ftpostrf", action="store_true",
+                        help="accepted for compatibility (dead in reference)")
+    parser.add_argument("-f", "--number-of-frames", default=243, type=int,
+                        metavar="N")
+
+    # Experimental (reference arguments.py:64-78)
+    parser.add_argument("-gpu", default="0", type=str,
+                        help="accepted for compatibility; device selection is JAX-native")
+    parser.add_argument("--subset", default=1, type=float, metavar="FRACTION")
+    parser.add_argument("--downsample", default=1, type=int, metavar="FACTOR")
+    parser.add_argument("--warmup", default=1, type=int, metavar="N")
+    parser.add_argument("--no-eval", action="store_true")
+    parser.add_argument("--dense", action="store_true")
+    parser.add_argument("--disable-optimizations", action="store_true")
+    parser.add_argument("--linear-projection", action="store_true")
+    parser.add_argument("--no-bone-length", action="store_false",
+                        dest="bone_length_term")
+    parser.add_argument("--no-proj", action="store_true")
+    parser.add_argument("--ft", action="store_true")
+    parser.add_argument("--ftpath", default="checkpoint/exp13_ft2d", type=str)
+    parser.add_argument("--ftchk", default="epoch_330.pth", type=str)
+    parser.add_argument("--no_eval", action="store_true", default=False)
+
+    # Visualization (reference arguments.py:81-93)
+    parser.add_argument("--viz-subject", type=str, metavar="STR")
+    parser.add_argument("--viz-action", type=str, metavar="STR")
+    parser.add_argument("--viz-camera", type=int, default=0, metavar="N")
+    parser.add_argument("--viz-video", type=str, metavar="PATH")
+    parser.add_argument("--viz-skip", type=int, default=0, metavar="N")
+    parser.add_argument("--viz-output", type=str, metavar="PATH")
+    parser.add_argument("--viz-export", type=str, metavar="PATH")
+    parser.add_argument("--viz-bitrate", type=int, default=3000, metavar="N")
+    parser.add_argument("--viz-no-ground-truth", action="store_true")
+    parser.add_argument("--viz-limit", type=int, default=-1, metavar="N")
+    parser.add_argument("--viz-downsample", type=int, default=1, metavar="N")
+    parser.add_argument("--viz-size", type=int, default=5, metavar="N")
+    parser.add_argument("--compare", action="store_true", default=False)
+
+    # linear-model flags (reference arguments.py:97-99, dead paths)
+    parser.add_argument("-lcs", "--linear_channel_size", type=int, default=1024)
+    parser.add_argument("-depth", type=int, default=4)
+    parser.add_argument("-ldg", "--lr_decay_gap", type=float, default=10000)
+
+    # Diffusion (reference arguments.py:101-107)
+    parser.add_argument("-scale", default=1.0, type=float, help="SNR scale")
+    parser.add_argument("-timestep", type=int, default=1000, metavar="N")
+    parser.add_argument("-sampling_timesteps", type=int, default=5, metavar="N")
+    parser.add_argument("-num_proposals", type=int, default=300, metavar="N")
+    parser.add_argument("--debug", action="store_true", default=False)
+    parser.add_argument("--p2", action="store_true", default=False)
+
+    # ------------------------- TPU-native extensions -------------------------
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="model compute dtype (bfloat16 = fast path)")
+    parser.add_argument("--platform", default="",
+                        help="force a JAX platform (e.g. cpu); empty = default")
+    parser.add_argument("--num-virtual-devices", type=int, default=0,
+                        help="with --platform cpu: create N virtual devices")
+    parser.add_argument("--dp", type=int, default=0,
+                        help="data-parallel mesh size (0 = all devices)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel mesh size")
+    parser.add_argument("--seed", type=int, default=1,
+                        help="global seed (reference fixes 1, main.py:67-71)")
+    parser.add_argument("--synthetic-frames", type=int, default=1200,
+                        help="--dataset synthetic: total frames per split")
+
+    parser.set_defaults(bone_length_term=True)
+    parser.set_defaults(data_augmentation=True)
+    parser.set_defaults(test_time_augmentation=True)
+    return parser
+
+
+def parse_args(argv=None, in_the_wild=False):
+    parser = build_parser(in_the_wild=in_the_wild)
+    args = parser.parse_args(argv)
+    # reference's mutual exclusions (arguments.py:117-123)
+    if args.resume and args.evaluate:
+        parser.error("--resume and --evaluate cannot be set at the same time")
+    if args.export_training_curves and args.no_eval:
+        parser.error("--export-training-curves and --no-eval cannot be set "
+                     "at the same time")
+    return args
+
+
+def apply_platform_args(args):
+    """Apply --platform/--num-virtual-devices before any jax backend use."""
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+        if args.num_virtual_devices and args.platform == "cpu":
+            jax.config.update("jax_num_cpu_devices", args.num_virtual_devices)

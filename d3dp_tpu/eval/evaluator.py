@@ -1,0 +1,211 @@
+"""Windowed multi-hypothesis evaluation with on-device aggregation.
+
+Mirrors the reference evaluate() loop (main.py:596-794): per sequence,
+flip the 2D inputs by keypoint symmetry, window to the receptive field,
+micro-batch the windows, DDIM-sample (B,K,H,F,J,3) hypothesis stacks, and
+score all four aggregation modes (J-Best, P-Best, P-Agg, J-Agg/JPMA) per
+micro-batch, accumulating frame-weighted sums.
+
+TPU-first differences:
+  * ONE jitted eval step covers sampling + JPMA reprojection + all four P1
+    metrics — the hypothesis stack never leaves the device
+  * micro-batches are padded to a fixed size with 0/1 window weights, so the
+    step compiles once (the reference retraces nothing but pays a ragged
+    final batch; XLA would recompile — weights keep the math identical)
+  * Protocol-2 (Procrustes) runs on the host numpy backend for bit-parity
+    with the reference's numpy SVD path (loss.py:190-395)
+"""
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from d3dp_tpu.data.windowing import window_sequence
+from d3dp_tpu.geometry.camera import project_to_2d
+from d3dp_tpu.metrics.mpjpe import (
+    mpjpe_diffusion,
+    mpjpe_diffusion_all_min,
+    mpjpe_diffusion_reproj,
+)
+from d3dp_tpu.metrics.procrustes_np import (
+    p_mpjpe_diffusion_np,
+    p_mpjpe_diffusion_all_min_np,
+    p_mpjpe_diffusion_reproj_np,
+)
+
+MODES = ("J_Best", "P_Best", "P_Agg", "J_Agg")
+
+
+@dataclass
+class EvalResult:
+    """Frame-weighted sums per aggregation mode; (K,) arrays."""
+
+    sums: dict = field(default_factory=dict)
+    sums_p2: dict = field(default_factory=dict)
+    n: int = 0
+
+    def add(self, errors: dict, errors_p2: Optional[dict], weight: int):
+        for m, v in errors.items():
+            e = np.asarray(v, dtype=np.float64) * weight
+            self.sums[m] = self.sums.get(m, 0.0) + e
+        if errors_p2 is not None:
+            for m, v in errors_p2.items():
+                e = np.asarray(v, dtype=np.float64) * weight
+                self.sums_p2[m] = self.sums_p2.get(m, 0.0) + e
+        self.n += weight
+
+    def averages_mm(self):
+        """-> dict mode -> (K,) in millimetres."""
+        return {m: v / self.n * 1000.0 for m, v in self.sums.items()}
+
+    def averages_p2_mm(self):
+        return {m: v / self.n * 1000.0 for m, v in self.sums_p2.items()}
+
+
+class Evaluator:
+    def __init__(self, d3dp, receptive_field=243, batch_size=4,
+                 kps_left=None, kps_right=None, p2=False, quickdebug=False,
+                 mm_to_m=1.0, light=False):
+        """`light=True` computes only P-Best (no JPMA reprojection) — the
+        reference's end-of-epoch validation metric (main.py:455)."""
+        self.d3dp = d3dp
+        self.rf = receptive_field
+        self.bs = batch_size
+        self.kps_left = kps_left
+        self.kps_right = kps_right
+        self.p2 = p2
+        self.quickdebug = quickdebug
+        self.mm_to_m = mm_to_m
+        self.light = light
+        self._step = jax.jit(self._eval_step, static_argnames=("need_preds",))
+
+    # ------------------------------------------------------------------
+    def _eval_step(self, params, key, x2d, x2d_flip, x3d, traj, cam, weights,
+                   need_preds=False):
+        """One micro-batch: sample + root-zero + JPMA + 4 P1 metrics.
+
+        x2d/x2d_flip: (B,F,J,2), x3d: (B,F,J,3) root-zeroed target,
+        traj: (B,F,1,3), cam: (B,9), weights: (B,) 0/1.
+        """
+        preds = self.d3dp.sample(params, key, x2d, x2d_flip)  # (B,K,H,F,J,3)
+        preds = preds.at[..., 0, :].set(0.0)  # zero root (main.py:700)
+
+        if self.light:
+            errors = {"P_Best": mpjpe_diffusion(preds, x3d, weights=weights)}
+            return errors, None, None
+
+        B, K, H, F, J, _ = preds.shape
+        # JPMA: absolute poses -> 2D reprojection (main.py:705-712)
+        pred_abs = preds + traj[:, None, None]
+        reproj = project_to_2d(
+            pred_abs.reshape(B, K * H * F * J, 3), cam
+        ).reshape(B, K, H, F, J, 2)
+
+        errors = {
+            "J_Best": mpjpe_diffusion_all_min(preds, x3d, weights=weights),
+            "P_Best": mpjpe_diffusion(preds, x3d, weights=weights),
+            "P_Agg": mpjpe_diffusion_all_min(
+                preds, x3d, mean_pos=True, weights=weights
+            ),
+            "J_Agg": mpjpe_diffusion_reproj(
+                preds, x3d, reproj, x2d, weights=weights
+            ),
+        }
+        if need_preds:
+            return errors, preds, reproj
+        return errors, None, None
+
+    # ------------------------------------------------------------------
+    def evaluate(self, params, generator, key, return_predictions=False):
+        """Run the full eval loop over an UnchunkedGenerator.
+
+        Returns EvalResult (or, with return_predictions, the raw prediction
+        stack of the first micro-batch, like the reference's --render path,
+        main.py:702-703).
+        """
+        result = EvalResult()
+        rf, bs = self.rf, self.bs
+        kl, kr = self.kps_left, self.kps_right
+
+        for item in generator.next_epoch():
+            cam, batch_3d, batch_2d = item[:3]
+            seq_2d = np.asarray(batch_2d[0], dtype=np.float32)
+            seq_3d = np.asarray(batch_3d[0], dtype=np.float32)
+            cam_vec = np.asarray(cam[0], dtype=np.float32)
+
+            # keypoint-symmetry flip of the conditioning (main.py:645-648)
+            seq_2d_flip = seq_2d.copy()
+            seq_2d_flip[..., 0] *= -1
+            seq_2d_flip[:, kl + kr] = seq_2d_flip[:, kr + kl]
+
+            w2d = window_sequence(seq_2d, rf)
+            w2d_f = window_sequence(seq_2d_flip, rf)
+            w3d = window_sequence(seq_3d, rf)
+
+            traj = w3d[:, :, :1].copy()
+            w3d = w3d.copy()
+            w3d[:, :, 0] = 0.0  # root-zero target (main.py:679-680)
+
+            W = w2d.shape[0]
+            n_batches = (W + bs - 1) // bs
+            for b in range(n_batches):
+                lo, hi = b * bs, min((b + 1) * bs, W)
+                n = hi - lo
+                pad = bs - n
+
+                def take(a):
+                    x = a[lo:hi]
+                    if pad:
+                        x = np.concatenate([x, np.repeat(x[:1], pad, 0)], 0)
+                    return jnp.asarray(x)
+
+                weights = jnp.asarray(
+                    np.concatenate([np.ones(n), np.zeros(pad)]).astype(np.float32)
+                )
+                cams = jnp.asarray(np.tile(cam_vec, (bs, 1)))
+
+                key, sub = jax.random.split(key)
+                errors, preds, _ = self._step(
+                    params, sub, take(w2d), take(w2d_f), take(w3d),
+                    take(traj), cams, weights, need_preds=(self.p2 or return_predictions),
+                )
+                if return_predictions:
+                    return np.asarray(preds)[:n]
+
+                errors_p2 = None
+                if self.p2:
+                    errors_p2 = self._p2_host(
+                        np.asarray(preds)[:n],
+                        np.asarray(take(w3d))[:n],
+                        np.asarray(take(w2d))[:n],
+                        cam_vec,
+                        np.asarray(take(traj))[:n],
+                    )
+                result.add(errors, errors_p2, weight=n * rf)
+
+                if self.quickdebug:
+                    return result
+            if self.quickdebug:
+                return result
+        return result
+
+    # ------------------------------------------------------------------
+    def _p2_host(self, preds, x3d, x2d, cam_vec, traj):
+        """Protocol-2 on host numpy (exact reference parity)."""
+        B, K, H, F, J, _ = preds.shape
+        pred_abs = preds + traj[:, None, None]
+        reproj = np.asarray(
+            project_to_2d(
+                jnp.asarray(pred_abs.reshape(B, K * H * F * J, 3)),
+                jnp.asarray(np.tile(cam_vec, (B, 1))),
+            )
+        ).reshape(B, K, H, F, J, 2)
+        return {
+            "J_Best": p_mpjpe_diffusion_all_min_np(preds, x3d),
+            "P_Best": p_mpjpe_diffusion_np(preds, x3d),
+            "P_Agg": p_mpjpe_diffusion_all_min_np(preds, x3d, mean_pos=True),
+            "J_Agg": p_mpjpe_diffusion_reproj_np(preds, x3d, reproj, x2d),
+        }

@@ -1,0 +1,63 @@
+"""Checkpointing: same logical payload as the reference's torch.save dict
+(main.py:543-552) — {epoch, lr, random_state, optimizer, model} — stored as
+a single pickle of numpy-ified pytrees, framework-free on load.
+
+Also loads reference .bin checkpoints (model weights only) via the
+torch->flax converter.
+"""
+
+import os
+import pickle
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path, *, epoch, lr, params, opt_state=None,
+                    generator_random_state=None, min_loss=None, extra=None):
+    payload = {
+        "epoch": epoch,
+        "lr": lr,
+        "params": _to_numpy(params),
+        "opt_state": None if opt_state is None else _to_numpy(opt_state),
+        "random_state": generator_random_state,
+        "min_loss": min_loss,
+        "extra": extra,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def load_any(path, depth=8):
+    """Load either our .ckpt pickle or a reference torch .bin.
+
+    Returns dict with at least {'params': flax-params-pytree, 'epoch', 'lr'}.
+    """
+    try:
+        payload = load_checkpoint(path)
+        if isinstance(payload, dict) and "params" in payload:
+            return payload
+    except (pickle.UnpicklingError, UnicodeDecodeError, EOFError, KeyError):
+        pass
+    from d3dp_tpu.train.convert_torch import load_reference_checkpoint
+
+    params, meta = load_reference_checkpoint(path, depth=depth)
+    return {
+        "params": {"params": params},
+        "epoch": meta.get("epoch", 0),
+        "lr": meta.get("lr"),
+        "opt_state": None,
+        "random_state": None,
+        "min_loss": None,
+    }

@@ -1,0 +1,42 @@
+"""End-to-end CLI smoke: train -> checkpoint -> evaluate on synthetic data,
+exercising the same entry point a user runs (equivalent of the reference's
+--debug quickdebug path, its only smoke test)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(tmp_path, extra):
+    cmd = [
+        sys.executable, "main.py", "-d", "synthetic", "--nolog",
+        "-f", "27", "-cs", "64", "-dep", "2", "-s", "27",
+        "--synthetic-frames", "150", "-c", str(tmp_path), "--platform", "cpu",
+        "--debug",
+    ] + extra
+    return subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=560
+    )
+
+
+@pytest.mark.slow
+def test_train_then_evaluate(tmp_path):
+    r = run_cli(tmp_path, ["-e", "1", "-b", "108", "-cf", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "3d_train" in r.stdout
+    assert os.path.exists(os.path.join(tmp_path, "best_epoch.ckpt"))
+
+    r2 = run_cli(
+        tmp_path,
+        ["--evaluate", "best_epoch.ckpt", "-b", "4",
+         "-num_proposals", "2", "-sampling_timesteps", "2"],
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "Protocol #1 Error (MPJPE) J_Agg" in r2.stdout
+    # per-config txt log written like the reference (main.py:745)
+    assert os.path.exists(os.path.join(tmp_path, "h36m_test_log_H2_K2.txt"))
