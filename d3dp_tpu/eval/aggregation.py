@@ -1,0 +1,51 @@
+"""Hypothesis-aggregation POSE selection (not just errors): P-Agg, P-Best,
+J-Best, J-Agg over a (B, K, H, F, J, 3) stack.
+
+These mirror the reference's 3DHP export path (main_3dhp.py:781-835), which
+selects actual poses per aggregation mode for the external PCK/AUC harness.
+All selections are one-hot contractions (MXU-friendly) instead of
+torch.gather, and run on-device inside the jitted eval step.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _norm(x):
+    return jnp.sqrt(jnp.sum(jnp.square(x), axis=-1))
+
+
+def select_p_agg(preds):
+    """Mean pose over hypotheses. (B,K,H,F,J,3) -> (B,K,F,J,3)."""
+    return jnp.mean(preds, axis=2)
+
+
+def select_p_best(preds, target):
+    """Best whole-pose hypothesis PER DDIM STEP, shared across the
+    micro-batch — the reference computes argmin of the per-(k,h) mean error
+    over the whole batch (main_3dhp.py:787-797). -> (B,K,F,J,3)."""
+    errors = _norm(preds - target[:, None, None])  # (B,K,H,F,J)
+    per_kh = jnp.mean(errors, axis=(0, 3, 4))  # (K,H)
+    onehot = jax.nn.one_hot(jnp.argmin(per_kh, axis=1), preds.shape[2],
+                            dtype=preds.dtype)  # (K,H)
+    return jnp.einsum("bkhfjc,kh->bkfjc", preds, onehot)
+
+
+def select_j_best(preds, target):
+    """Per-joint oracle hypothesis. -> (B,K,F,J,3). (main_3dhp.py:800-803)"""
+    errors = _norm(preds - target[:, None, None])  # (B,K,H,F,J)
+    idx = jnp.argmin(errors, axis=2)  # (B,K,F,J)
+    onehot = jax.nn.one_hot(idx, preds.shape[2], axis=2, dtype=preds.dtype)
+    return jnp.einsum("bkhfj,bkhfjc->bkfjc", onehot, preds)
+
+
+def select_j_agg(preds, reproj_2d, target_2d):
+    """Per-joint hypothesis minimising 2D reprojection error (JPMA).
+
+    reproj_2d: (B,K,H,F,J,2); target_2d: (B,F,J,2). -> (B,K,F,J,3).
+    (main_3dhp.py:806-835)
+    """
+    errors_2d = _norm(reproj_2d - target_2d[:, None, None])  # (B,K,H,F,J)
+    idx = jnp.argmin(errors_2d, axis=2)
+    onehot = jax.nn.one_hot(idx, preds.shape[2], axis=2, dtype=preds.dtype)
+    return jnp.einsum("bkhfj,bkhfjc->bkfjc", onehot, preds)

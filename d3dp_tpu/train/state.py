@@ -58,16 +58,17 @@ def weighted_mpjpe(pred, target, weights):
     return jnp.sum(err * w) / denom
 
 
-def make_train_step(d3dp, tx, donate=True):
+def make_train_step(d3dp, tx, donate=True, root_joint=0):
     """Build the jitted train step.
 
     step(state, rng, x2d, x3d, weights) -> (state, loss)
-    x3d arrives with the trajectory in joint 0; it is root-zeroed here
-    (main.py:381-382) before both conditioning and loss.
+    x3d arrives with the trajectory in the root joint; it is root-zeroed
+    here before both conditioning and loss (main.py:381-382 — joint 0 for
+    H36M; main_3dhp.py:424-425 — joint 14/pelvis for 3DHP).
     """
 
     def step_fn(state, rng, x2d, x3d, weights):
-        x3d = x3d.at[:, :, 0].set(0.0)
+        x3d = x3d.at[:, :, root_joint].set(0.0)
 
         def loss_fn(params):
             pred = d3dp.train_forward({"params": params}, rng, x2d, x3d, train=True)
