@@ -93,13 +93,16 @@ def prepare_h36m(args):
                     keypoints[subject][action][cam_idx] = (
                         keypoints[subject][action][cam_idx][:mocap_length])
 
-    # screen normalisation (main.py:139-145)
+    # screen normalisation (main.py:139-145); confidence channels dropped
+    # like the in-the-wild variant (main_in_the_wild.py:172) — the denoiser
+    # conditions on (x, y) only
     for subject in keypoints.keys():
         for action in keypoints[subject]:
             for cam_idx, kps in enumerate(keypoints[subject][action]):
                 cam = dataset.cameras()[subject][cam_idx]
-                kps[..., :2] = normalize_screen_coordinates(
-                    kps[..., :2], w=cam["res_w"], h=cam["res_h"])
+                kps = np.ascontiguousarray(kps[..., :2])
+                kps[...] = normalize_screen_coordinates(
+                    kps, w=cam["res_w"], h=cam["res_h"])
                 keypoints[subject][action][cam_idx] = kps
 
     poses_3d = {
@@ -122,6 +125,13 @@ def prepare_h36m(args):
 
 def prepare_synthetic(args):
     """Self-consistent synthetic stand-in with the same interfaces."""
+    from d3dp_tpu.data.h36m import h36m_skeleton, H36M_JOINTS_REMOVED
+
+    skeleton = h36m_skeleton()
+    skeleton.remove_joints(H36M_JOINTS_REMOVED)
+    skeleton._parents[11] = 8
+    skeleton._parents[14] = 8
+
     rng = np.random.RandomState(args.seed)
     frames = args.synthetic_frames
     n_actions = 3
@@ -152,6 +162,7 @@ def prepare_synthetic(args):
         kps_right=list(JOINTS_RIGHT),
         joints_left=list(JOINTS_LEFT),
         joints_right=list(JOINTS_RIGHT),
+        skeleton=skeleton,
         keypoints_metadata={
             "num_joints": 17,
             "keypoints_symmetry": (list(JOINTS_LEFT), list(JOINTS_RIGHT)),

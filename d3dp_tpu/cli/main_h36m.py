@@ -350,7 +350,10 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer):
 def main(argv=None):
     args = parse_args(argv)
     apply_platform_args(args)
+    run_with_args(args)
 
+
+def run_with_args(args):
     import jax
     from d3dp_tpu.utils.logging import Logger, TensorBoardWriter
     from d3dp_tpu.train.checkpoint_io import load_any
