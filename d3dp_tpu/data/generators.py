@@ -24,7 +24,7 @@ class ChunkedGenerator:
                  pad=0, causal_shift=0, shuffle=True, random_seed=1234,
                  augment=False, kps_left=None, kps_right=None,
                  joints_left=None, joints_right=None, endless=False,
-                 pad_last=False):
+                 pad_last=False, use_native=True):
         assert poses_3d is None or len(poses_3d) == len(poses_2d), (
             len(poses_3d), len(poses_2d))
         assert cameras is None or len(cameras) == len(poses_2d)
@@ -64,6 +64,39 @@ class ChunkedGenerator:
         self.kps_right = kps_right
         self.joints_left = joints_left
         self.joints_right = joints_right
+
+        # native (C++) batch assembly of the hot extraction/flip loop
+        self._native = None
+        if use_native:
+            try:
+                from d3dp_tpu.data import native
+
+                if native.available():
+                    self._native = native
+                    self._bank_2d = native.SequenceBank(poses_2d)
+                    self._bank_3d = (native.SequenceBank(poses_3d)
+                                     if poses_3d is not None else None)
+                    J2 = poses_2d[0].shape[1]
+                    perm2 = np.arange(J2)
+                    if kps_left is not None:
+                        perm2[list(kps_left)] = kps_right
+                        perm2[list(kps_right)] = kps_left
+                    self._perm_2d = perm2
+                    self._sign_2d = np.array(
+                        [-1.0] + [1.0] * (poses_2d[0].shape[2] - 1),
+                        np.float32)
+                    if poses_3d is not None:
+                        J3 = poses_3d[0].shape[1]
+                        perm3 = np.arange(J3)
+                        if joints_left is not None:
+                            perm3[list(joints_left)] = joints_right
+                            perm3[list(joints_right)] = joints_left
+                        self._perm_3d = perm3
+                        self._sign_3d = np.array(
+                            [-1.0] + [1.0] * (poses_3d[0].shape[2] - 1),
+                            np.float32)
+            except Exception:
+                self._native = None
 
     def num_frames(self):
         return self.num_batches * self.batch_size
@@ -110,49 +143,70 @@ class ChunkedGenerator:
                 n = len(chunks)
                 bs = self.batch_size if self.pad_last else n
 
-                batch_2d = np.empty(
-                    (bs, self.chunk_length) + self.poses_2d[0].shape[1:],
-                    dtype=np.float32)
-                batch_3d = None
-                if self.poses_3d is not None:
-                    batch_3d = np.empty(
-                        (bs, self.chunk_length) + self.poses_3d[0].shape[1:],
-                        dtype=np.float32)
+                weights = np.zeros((bs,), dtype=np.float32)
+                weights[:n] = 1.0
+
                 batch_cam = None
                 if self.cameras is not None:
                     batch_cam = np.empty((bs, self.cameras[0].shape[-1]),
                                          dtype=np.float32)
-                weights = np.zeros((bs,), dtype=np.float32)
-
-                for i, (seq_i, start, end, flip) in enumerate(chunks):
-                    seq_i, start, end = int(seq_i), int(start), int(end)
-                    weights[i] = 1.0
-                    chunk_2d = self._extract(self.poses_2d, seq_i, start, end)
-                    if flip:
-                        chunk_2d = chunk_2d.copy()
-                        chunk_2d[..., 0] *= -1
-                        chunk_2d[:, self.kps_left + self.kps_right] = chunk_2d[
-                            :, self.kps_right + self.kps_left]
-                    batch_2d[i] = chunk_2d
-
-                    if batch_3d is not None:
-                        chunk_3d = self._extract(self.poses_3d, seq_i, start, end)
-                        if flip:
-                            chunk_3d = chunk_3d.copy()
-                            chunk_3d[..., 0] *= -1
-                            chunk_3d[:, self.joints_left + self.joints_right] = (
-                                chunk_3d[:, self.joints_right + self.joints_left])
-                        batch_3d[i] = chunk_3d
-
-                    if batch_cam is not None:
-                        cam = np.array(self.cameras[seq_i], dtype=np.float32)
+                    for i, (seq_i, start, end, flip) in enumerate(chunks):
+                        cam = np.array(self.cameras[int(seq_i)], dtype=np.float32)
                         if flip:
                             cam[2] *= -1  # principal point cx
                             cam[7] *= -1  # tangential p1
                         batch_cam[i] = cam
 
+                if self._native is not None:
+                    chunk_arr = np.asarray(chunks, dtype=np.int64).reshape(n, 4)
+                    batch_2d = np.empty(
+                        (bs, self.chunk_length) + self.poses_2d[0].shape[1:],
+                        dtype=np.float32)
+                    self._native.assemble_chunks(
+                        self._bank_2d, chunk_arr, self.chunk_length,
+                        self._perm_2d, self._sign_2d, out=batch_2d[:n])
+                    batch_3d = None
+                    if self._bank_3d is not None:
+                        batch_3d = np.empty(
+                            (bs, self.chunk_length) + self.poses_3d[0].shape[1:],
+                            dtype=np.float32)
+                        self._native.assemble_chunks(
+                            self._bank_3d, chunk_arr, self.chunk_length,
+                            self._perm_3d, self._sign_3d, out=batch_3d[:n])
+                else:
+                    batch_2d = np.empty(
+                        (bs, self.chunk_length) + self.poses_2d[0].shape[1:],
+                        dtype=np.float32)
+                    batch_3d = None
+                    if self.poses_3d is not None:
+                        batch_3d = np.empty(
+                            (bs, self.chunk_length) + self.poses_3d[0].shape[1:],
+                            dtype=np.float32)
+
+                    for i, (seq_i, start, end, flip) in enumerate(chunks):
+                        seq_i, start, end = int(seq_i), int(start), int(end)
+                        chunk_2d = self._extract(self.poses_2d, seq_i, start, end)
+                        if flip:
+                            chunk_2d = chunk_2d.copy()
+                            chunk_2d[..., 0] *= -1
+                            chunk_2d[:, self.kps_left + self.kps_right] = chunk_2d[
+                                :, self.kps_right + self.kps_left]
+                        batch_2d[i] = chunk_2d
+
+                        if batch_3d is not None:
+                            chunk_3d = self._extract(
+                                self.poses_3d, seq_i, start, end)
+                            if flip:
+                                chunk_3d = chunk_3d.copy()
+                                chunk_3d[..., 0] *= -1
+                                chunk_3d[:, self.joints_left + self.joints_right] = (
+                                    chunk_3d[:, self.joints_right + self.joints_left])
+                            batch_3d[i] = chunk_3d
+
                 if self.pad_last and n < bs:
-                    # pad rows replicate row 0; weights stay 0 -> masked out
+                    # pad rows replicate row 0 (keeps values finite — the
+                    # masked loss multiplies by 0, and 0*NaN would poison
+                    # gradients); weights stay 0 -> masked out
                     batch_2d[n:] = batch_2d[0]
                     if batch_3d is not None:
                         batch_3d[n:] = batch_3d[0]
