@@ -46,6 +46,7 @@ def main():
                 embed_dim=512,
                 depth=8,
                 dtype=jnp.bfloat16,  # fast path; fp32 parity is tested in CI
+                attention_impl="pallas",  # fused VMEM-resident attention
             ),
             num_proposals=H,
             sampling_timesteps=K,

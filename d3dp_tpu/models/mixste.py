@@ -121,14 +121,14 @@ class Attention(nn.Module):
             precision=self.precision,
             name="qkv",
         )(x)
-        qkv = qkv.reshape(B, N, 3, h, dh)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B,N,h,dh)
 
         if self.impl == "pallas":
-            from d3dp_tpu.ops.attention import fused_attention
+            from d3dp_tpu.ops.attention import fused_attention_qkv
 
-            out = fused_attention(q, k, v, scale)
+            out = fused_attention_qkv(qkv, h, scale).reshape(B, N, h, dh)
         else:
+            qkv = qkv.reshape(B, N, 3, h, dh)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B,N,h,dh)
             # logits/softmax in fp32 regardless of compute dtype
             attn = jnp.einsum(
                 "bnhd,bmhd->bhnm", q, k, precision=self.precision

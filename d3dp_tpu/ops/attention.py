@@ -28,44 +28,55 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, head_dim):
         q = q_ref[:, :, sl]
         k = k_ref[:, :, sl]
         v = v_ref[:, :, sl]
-
-        # batched (TB, N, D) x (TB, N, D)^T -> (TB, N, N), fp32 accumulate
-        s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        s = s * scale
-        # fp32 softmax, stable (matches the reference's fp32 torch softmax)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        a = (p / l).astype(v.dtype)
-
-        o = jax.lax.dot_general(
-            a, v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[:, :, sl] = o.astype(o_ref.dtype)
+        _attn_head(q, k, v, o_ref, sl, scale)
 
 
-def _tile_rows(B, N, C, dtype_bytes, vmem_budget=6 * 1024 * 1024):
-    """Largest divisor of B whose working set fits the VMEM budget.
-
-    Accounts for TPU tile padding — bf16 pads the sublane (N) axis to 16 and
-    the lane axis to 128 (so N x N fp32 logits pad N -> 128 in lanes) — and
-    for the x2 double buffering of pipelined in/out blocks."""
-    sub = -(-N // 16) * 16
-    lane_c = -(-C // 128) * 128
-    lane_n = -(-N // 128) * 128
-    per_row = (
-        2 * 4 * sub * lane_c * dtype_bytes  # qkv + out, double-buffered
-        + 3 * sub * lane_n * 4  # fp32 logits/softmax temporaries
+def _attn_head(q, k, v, o_ref, sl, scale):
+    # batched (TB, N, D) x (TB, N, D)^T -> (TB, N, N), fp32 accumulate
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
-    cap = max(vmem_budget // per_row, 1)
+    s = s * scale
+    # fp32 softmax, stable (matches the reference's fp32 torch softmax)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    a = (p / l).astype(v.dtype)
+
+    o = jax.lax.dot_general(
+        a, v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:, :, sl] = o.astype(o_ref.dtype)
+
+
+def _attn_fused_qkv_kernel(qkv_ref, o_ref, *, scale, num_heads, head_dim):
+    """Variant consuming the fused (TB, N, 3*h*d) qkv projection directly —
+    no q/k/v slice copies ever materialise in HBM."""
+    C = num_heads * head_dim
+    for hi in range(num_heads):
+        sl = slice(hi * head_dim, (hi + 1) * head_dim)
+        q = qkv_ref[:, :, hi * head_dim : (hi + 1) * head_dim]
+        k = qkv_ref[:, :, C + hi * head_dim : C + (hi + 1) * head_dim]
+        v = qkv_ref[:, :, 2 * C + hi * head_dim : 2 * C + (hi + 1) * head_dim]
+        _attn_head(q, k, v, o_ref, sl, scale)
+
+
+def _tile_rows(B, N):
+    """Batch-tile size: largest divisor of B under an empirically-tuned
+    target (measured on v5e: ~128 rows for the 17-token shape, ~4 rows for
+    the 243-token shape — beyond that VMEM pressure erodes pipelining)."""
+    if N <= 32:
+        target = 128
+    elif N <= 256:
+        target = 4
+    else:
+        target = 1
     tb = 1
-    for d in range(1, min(B, cap) + 1):
+    for d in range(1, min(B, target) + 1):
         if B % d == 0:
             tb = d
     return tb
@@ -82,7 +93,7 @@ def fused_attention_packed(q, k, v, num_heads, scale, interpret=None):
     d = C // num_heads
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    tb = _tile_rows(B, N, C, q.dtype.itemsize)
+    tb = _tile_rows(B, N)
 
     spec = pl.BlockSpec(
         (tb, N, C),
@@ -96,6 +107,8 @@ def fused_attention_packed(q, k, v, num_heads, scale, interpret=None):
         in_specs=[spec, spec, spec],
         out_specs=spec,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * N * N * C,
             bytes_accessed=4 * B * N * C * q.dtype.itemsize,
@@ -111,3 +124,42 @@ def fused_attention(q, k, v, scale, interpret=None):
         q.reshape(B, N, h * d), k.reshape(B, N, h * d), v.reshape(B, N, h * d),
         h, scale, interpret=interpret)
     return out.reshape(B, N, h, d)
+
+
+@partial(jax.jit, static_argnames=("num_heads", "scale", "interpret", "tb"))
+def fused_attention_qkv(qkv, num_heads, scale, interpret=None, tb=None):
+    """Attention straight from the fused qkv projection.
+
+    qkv: (B, N, 3*h*d) — the raw output of the qkv Dense layer, consumed
+    in place (no q/k/v slice copies). Returns (B, N, h*d).
+    """
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    d = C // num_heads
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if tb is None:
+        tb = _tile_rows(B, N)
+
+    in_spec = pl.BlockSpec(
+        (tb, N, C3), lambda i: (i, 0, 0),
+        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (tb, N, C), lambda i: (i, 0, 0),
+        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_attn_fused_qkv_kernel, scale=scale, num_heads=num_heads,
+                head_dim=d),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+        grid=(B // tb,),
+        in_specs=[in_spec],
+        out_specs=out_spec,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * N * N * C,
+            bytes_accessed=2 * B * N * C3 * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+    )(qkv)

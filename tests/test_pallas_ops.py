@@ -1,0 +1,99 @@
+"""Pallas kernels vs their XLA equivalents (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from d3dp_tpu.ops.attention import fused_attention, fused_attention_qkv
+
+
+def ref_attn(q, k, v, scale):
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                   precision="highest").astype(jnp.float32) * scale
+    a = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", a, v, precision="highest")
+
+
+@pytest.mark.parametrize("B,N", [(24, 17), (8, 243)])
+def test_fused_attention_parity(rng, B, N):
+    h, d = 8, 64
+    q = jnp.asarray(rng.randn(B, N, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(B, N, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(B, N, h, d), jnp.float32)
+    scale = d**-0.5
+    out = fused_attention(q, k, v, scale, interpret=True)
+    expected = ref_attn(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), atol=2e-5)
+
+
+def test_fused_attention_qkv_parity(rng):
+    B, N, h, d = 16, 17, 8, 64
+    C = h * d
+    qkv = jnp.asarray(rng.randn(B, N, 3 * C), jnp.float32)
+    scale = d**-0.5
+    out = fused_attention_qkv(qkv, h, scale, interpret=True)
+    qkv5 = qkv.reshape(B, N, 3, h, d)
+    expected = ref_attn(qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2], scale)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected).reshape(B, N, C), atol=2e-5)
+
+
+def test_model_pallas_vs_xla(rng):
+    """Whole MixSTE2 forward: pallas attention == xla attention (fp32)."""
+    from d3dp_tpu.models import MixSTE2, MixSTEConfig
+
+    B, F, J = 2, 9, 17
+    x2d = jnp.asarray(rng.randn(B, F, J, 2), jnp.float32)
+    x3d = jnp.asarray(rng.randn(B, F, J, 3), jnp.float32)
+    t = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
+    mk = lambda impl: MixSTE2(MixSTEConfig(
+        num_frames=F, embed_dim=64, depth=2, attention_impl=impl))
+    params = mk("xla").init(jax.random.PRNGKey(0), x2d, x3d, t)
+    out_x = mk("xla").apply(params, x2d, x3d, t)
+    out_p = mk("pallas").apply(params, x2d, x3d, t)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=1e-4)
+
+
+def test_fused_block_parity(rng):
+    """Experimental fused transformer block == composed flax block."""
+    from d3dp_tpu.ops.block import fused_block
+
+    C, h, B, N = 64, 8, 8, 17
+    w = {
+        "ln1_scale": jnp.asarray(1 + 0.1 * rng.randn(C), jnp.float32),
+        "ln1_bias": jnp.asarray(0.1 * rng.randn(C), jnp.float32),
+        "qkv_kernel": jnp.asarray(rng.randn(C, 3 * C) * 0.05, jnp.float32),
+        "qkv_bias": jnp.asarray(rng.randn(3 * C) * 0.01, jnp.float32),
+        "proj_kernel": jnp.asarray(rng.randn(C, C) * 0.05, jnp.float32),
+        "proj_bias": jnp.asarray(rng.randn(C) * 0.01, jnp.float32),
+        "ln2_scale": jnp.asarray(1 + 0.1 * rng.randn(C), jnp.float32),
+        "ln2_bias": jnp.asarray(0.1 * rng.randn(C), jnp.float32),
+        "fc1_kernel": jnp.asarray(rng.randn(C, 2 * C) * 0.05, jnp.float32),
+        "fc1_bias": jnp.asarray(rng.randn(2 * C) * 0.01, jnp.float32),
+        "fc2_kernel": jnp.asarray(rng.randn(2 * C, C) * 0.05, jnp.float32),
+        "fc2_bias": jnp.asarray(rng.randn(C) * 0.01, jnp.float32),
+        "lns_scale": jnp.asarray(1 + 0.1 * rng.randn(C), jnp.float32),
+        "lns_bias": jnp.asarray(0.1 * rng.randn(C), jnp.float32),
+    }
+    x = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+    got = fused_block(x, w, h, (C // h) ** -0.5, interpret=True)
+
+    # reference composition with flax-equivalent math
+    def ln(x, s, b, eps=1e-6):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * s + b
+
+    hh = ln(x, w["ln1_scale"], w["ln1_bias"])
+    qkv = hh @ w["qkv_kernel"] + w["qkv_bias"]
+    qkv5 = qkv.reshape(B, N, 3, h, C // h)
+    attn = ref_attn(qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2],
+                    (C // h) ** -0.5).reshape(B, N, C)
+    x2 = x + attn @ w["proj_kernel"] + w["proj_bias"]
+    h2 = ln(x2, w["ln2_scale"], w["ln2_bias"])
+    m = jax.nn.gelu(h2 @ w["fc1_kernel"] + w["fc1_bias"], approximate=False)
+    x3 = x2 + m @ w["fc2_kernel"] + w["fc2_bias"]
+    expected = ln(x3, w["lns_scale"], w["lns_bias"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=5e-5)
