@@ -115,6 +115,11 @@ def build_parser(in_the_wild=False):
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"],
                         help="model compute dtype (bfloat16 = fast path)")
+    parser.add_argument("--attention", default="auto",
+                        choices=["auto", "xla", "pallas"],
+                        help="eval attention kernel: pallas = fused VMEM "
+                             "kernel (TPU only; 'auto' picks it on TPU). "
+                             "Training always uses xla (pallas has no VJP).")
     parser.add_argument("--platform", default="",
                         help="force a JAX platform (e.g. cpu); empty = default")
     parser.add_argument("--num-virtual-devices", type=int, default=0,

@@ -27,9 +27,15 @@ def _build_models(args):
     from d3dp_tpu.models import MixSTEConfig
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    mk_model = lambda dpr: MixSTEConfig(
+    import jax
+
+    attn = args.attention
+    if attn == "auto":
+        attn = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    mk_model = lambda dpr, impl="xla": MixSTEConfig(
         num_frames=args.number_of_frames, embed_dim=args.cs, depth=args.dep,
-        drop_rate=args.dropout, drop_path_rate=dpr, dtype=dtype)
+        drop_rate=args.dropout, drop_path_rate=dpr, dtype=dtype,
+        attention_impl=impl)
     common = dict(
         timesteps=args.timestep, scale=args.scale,
         joints_left=tuple(KPS_LEFT), joints_right=tuple(KPS_RIGHT),
@@ -37,9 +43,9 @@ def _build_models(args):
         unit_scale=1000.0,  # 3DHP data is in millimetres
     )
     d3dp_train = D3DP(D3DPConfig(model=mk_model(0.1), **common))
-    d3dp_valid = D3DP(D3DPConfig(model=mk_model(0.0), num_proposals=1,
+    d3dp_valid = D3DP(D3DPConfig(model=mk_model(0.0, attn), num_proposals=1,
                                  sampling_timesteps=1, **common))
-    d3dp_eval = D3DP(D3DPConfig(model=mk_model(0.0),
+    d3dp_eval = D3DP(D3DPConfig(model=mk_model(0.0, attn),
                                 num_proposals=args.num_proposals,
                                 sampling_timesteps=args.sampling_timesteps,
                                 **common))

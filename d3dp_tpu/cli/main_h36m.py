@@ -27,7 +27,14 @@ def _build_models(args, data):
     from d3dp_tpu.models import MixSTEConfig
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    mk_model = lambda dpr: MixSTEConfig(
+    import jax
+
+    attn = args.attention
+    if attn == "auto":
+        attn = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    # training always uses the differentiable xla path; eval models may use
+    # the fused pallas kernel (forward-only)
+    mk_model = lambda dpr, impl="xla": MixSTEConfig(
         num_frames=args.number_of_frames,
         num_joints=data.num_joints,
         embed_dim=args.cs,
@@ -35,6 +42,7 @@ def _build_models(args, data):
         drop_rate=args.dropout,
         drop_path_rate=dpr,
         dtype=dtype,
+        attention_impl=impl,
     )
     common = dict(
         timesteps=args.timestep,
@@ -45,9 +53,9 @@ def _build_models(args, data):
     )
     d3dp_train = D3DP(D3DPConfig(model=mk_model(0.1), **common))
     # end-of-epoch validation model: H=1, K=1 (main.py:229)
-    d3dp_valid = D3DP(D3DPConfig(model=mk_model(0.0), num_proposals=1,
+    d3dp_valid = D3DP(D3DPConfig(model=mk_model(0.0, attn), num_proposals=1,
                                  sampling_timesteps=1, **common))
-    d3dp_eval = D3DP(D3DPConfig(model=mk_model(0.0),
+    d3dp_eval = D3DP(D3DPConfig(model=mk_model(0.0, attn),
                                 num_proposals=args.num_proposals,
                                 sampling_timesteps=args.sampling_timesteps,
                                 **common))

@@ -45,7 +45,7 @@ class TestParityP1:
         b = rng.randn(4, 9, J, 3).astype(np.float32)
         expected = ref.mpjpe(torch.from_numpy(a), torch.from_numpy(b)).item()
         got = float(mpjpe(jnp.asarray(a), jnp.asarray(b)))
-        assert abs(got - expected) < 1e-6
+        assert abs(got - expected) < 5e-6  # fp32 reduction-order noise
 
     def test_p_best(self, data):
         import torch
