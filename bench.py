@@ -72,6 +72,33 @@ def main():
     elapsed = (time.perf_counter() - start) / n_iter
 
     hf_per_sec = B * H * F * K / elapsed
+
+    # secondary: training-step throughput at the reference batch size
+    # (4 chunks x 243 frames, flip-augmented equivalent shapes, fp32+xla —
+    # the differentiable path)
+    from d3dp_tpu.train.state import TrainState, make_optimizer, make_train_step
+
+    d3dp_tr = D3DP(
+        D3DPConfig(
+            model=MixSTEConfig(num_frames=F, embed_dim=512, depth=8,
+                               drop_path_rate=0.1),
+            num_proposals=1, sampling_timesteps=1,
+        )
+    )
+    tx = make_optimizer(6e-5)
+    state = TrainState.create(d3dp_tr.init_params(jax.random.PRNGKey(0)), tx)
+    step = make_train_step(d3dp_tr, tx, donate=False)
+    x3d = jnp.asarray(rng.randn(B, F, J, 3) * 0.3, jnp.float32)
+    w = jnp.ones((B,), jnp.float32)
+    state, loss = step(state, jax.random.PRNGKey(1), x2d, x3d, w)
+    _ = float(loss)
+    n_tr = 10
+    start = time.perf_counter()
+    for i in range(n_tr):
+        state, loss = step(state, jax.random.PRNGKey(2 + i), x2d, x3d, w)
+    _ = float(loss)
+    train_frames_per_sec = B * F * n_tr / (time.perf_counter() - start)
+
     print(
         json.dumps(
             {
@@ -82,6 +109,7 @@ def main():
                 "detail": {
                     "config": f"B={B} H={H} K={K} F={F} flip_tta=on bf16",
                     "seconds_per_call": round(elapsed, 4),
+                    "train_frames_per_sec": round(train_frames_per_sec, 1),
                     "device": str(dev),
                 },
             }

@@ -99,18 +99,19 @@ def run_training(args, data, d3dp_train, d3dp_valid, params):
 
     while epoch < args.epochs:
         start_time = time()
-        epoch_loss, N = 0.0, 0
+        step_losses, step_weights = [], []
         for batch in train_generator.next_epoch():
             _, b3, b2, w = batch
             key, sub = jax.random.split(key)
             state, loss = step(
                 state, sub, jnp.asarray(b2), jnp.asarray(b3), jnp.asarray(w))
-            n_chunks = int(w.sum())
-            epoch_loss += n_chunks * args.number_of_frames * float(loss)
-            N += n_chunks * args.number_of_frames
+            step_losses.append(loss)
+            step_weights.append(int(w.sum()) * args.number_of_frames)
             if args.debug:
                 break
-        train_loss = epoch_loss / N
+        losses_np = np.asarray(jnp.stack(step_losses))
+        weights_np = np.asarray(step_weights, dtype=np.float64)
+        train_loss = float((losses_np * weights_np).sum()) / float(weights_np.sum())
 
         valid_pbest = None
         if not args.no_eval:

@@ -285,16 +285,23 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer):
         epoch_loss, N = 0.0, 0
         quickdebug = args.debug
 
+        # losses stay on device until epoch end — float() would force a
+        # host sync every step and stall the dispatch pipeline
+        step_losses, step_weights = [], []
         for batch in train_generator.next_epoch():
             cam, b3, b2, w = batch
             key, sub = jax.random.split(key)
             state, loss = step(
                 state, sub, jnp.asarray(b2), jnp.asarray(b3), jnp.asarray(w))
             n_chunks = int(w.sum())
-            epoch_loss += n_chunks * args.number_of_frames * float(loss)
-            N += n_chunks * args.number_of_frames
+            step_losses.append(loss)
+            step_weights.append(n_chunks * args.number_of_frames)
             if quickdebug:
                 break
+        losses_np = np.asarray(jnp.stack(step_losses))
+        weights_np = np.asarray(step_weights, dtype=np.float64)
+        epoch_loss = float((losses_np * weights_np).sum())
+        N = float(weights_np.sum())
         train_loss = epoch_loss / N
 
         valid_pbest = None
