@@ -100,7 +100,12 @@ def run_training(args, data, d3dp_train, d3dp_valid, params):
     while epoch < args.epochs:
         start_time = time()
         step_losses, step_weights = [], []
-        for batch in train_generator.next_epoch():
+        from d3dp_tpu.data.prefetch import Prefetcher, device_put_batches
+
+        batches = Prefetcher(
+            train_generator.next_epoch(),
+            to_device=device_put_batches(1, 2, 3), depth=2)
+        for batch in batches:
             _, b3, b2, w = batch
             key, sub = jax.random.split(key)
             state, loss = step(

@@ -288,7 +288,12 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer):
         # losses stay on device until epoch end — float() would force a
         # host sync every step and stall the dispatch pipeline
         step_losses, step_weights = [], []
-        for batch in train_generator.next_epoch():
+        from d3dp_tpu.data.prefetch import Prefetcher, device_put_batches
+
+        batches = Prefetcher(
+            train_generator.next_epoch(),
+            to_device=device_put_batches(1, 2, 3), depth=2)
+        for batch in batches:
             cam, b3, b2, w = batch
             key, sub = jax.random.split(key)
             state, loss = step(

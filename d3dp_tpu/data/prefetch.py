@@ -1,0 +1,67 @@
+"""Background-thread batch prefetcher: overlap host batch assembly (and
+host->device transfer) with device compute.
+
+The reference feeds the GPU synchronously from the training loop
+(main.py:364-380). Here a worker thread runs the generator (optionally the
+C++ assembler underneath) and stages `device_put` results a few batches
+ahead, so the accelerator never waits on the host.
+"""
+
+import queue
+import threading
+
+
+class _Stop:
+    pass
+
+
+class Prefetcher:
+    """Wrap a batch iterable; yields batches moved to device ahead of time.
+
+    to_device: callable(batch)->batch, e.g. partial device_put of the array
+    members; identity by default.
+    """
+
+    def __init__(self, iterable, to_device=None, depth=2):
+        self.iterable = iterable
+        self.to_device = to_device or (lambda x: x)
+        self.depth = depth
+
+    def __iter__(self):
+        q = queue.Queue(maxsize=self.depth)
+        err = []
+
+        def worker():
+            try:
+                for batch in self.iterable:
+                    q.put(self.to_device(batch))
+            except BaseException as e:  # surface worker errors in the consumer
+                err.append(e)
+            finally:
+                q.put(_Stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _Stop:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+
+
+def device_put_batches(*array_indices):
+    """to_device factory: jax.device_put the tuple members at given indices
+    (None members pass through)."""
+    import jax
+
+    def fn(batch):
+        out = list(batch)
+        for i in array_indices:
+            if out[i] is not None:
+                out[i] = jax.device_put(out[i])
+        return tuple(out)
+
+    return fn

@@ -68,9 +68,14 @@ class EvalResult:
 class Evaluator:
     def __init__(self, d3dp, receptive_field=243, batch_size=4,
                  kps_left=None, kps_right=None, p2=False, quickdebug=False,
-                 mm_to_m=1.0, light=False):
+                 mm_to_m=1.0, light=False, mesh=None):
         """`light=True` computes only P-Best (no JPMA reprojection) — the
-        reference's end-of-epoch validation metric (main.py:455)."""
+        reference's end-of-epoch validation metric (main.py:455).
+
+        `mesh`: optional jax.sharding.Mesh — eval windows (and the
+        hypothesis batch folded into them) shard over its 'dp' axis; the
+        jitted step then runs data-parallel with XLA inserting the metric
+        reductions' collectives. batch_size must divide by the dp size."""
         self.d3dp = d3dp
         self.rf = receptive_field
         self.bs = batch_size
@@ -80,6 +85,14 @@ class Evaluator:
         self.quickdebug = quickdebug
         self.mm_to_m = mm_to_m
         self.light = light
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from d3dp_tpu.parallel import batch_sharding
+
+            assert batch_size % mesh.shape["dp"] == 0, (
+                f"batch_size {batch_size} not divisible by dp={mesh.shape['dp']}")
+            self._batch_sharding = batch_sharding(mesh)
         self._step = jax.jit(self._eval_step, static_argnames=("need_preds",))
 
     # ------------------------------------------------------------------
@@ -156,16 +169,21 @@ class Evaluator:
                 n = hi - lo
                 pad = bs - n
 
+                def put(x):
+                    if self._batch_sharding is not None:
+                        return jax.device_put(x, self._batch_sharding)
+                    return jnp.asarray(x)
+
                 def take(a):
                     x = a[lo:hi]
                     if pad:
                         x = np.concatenate([x, np.repeat(x[:1], pad, 0)], 0)
-                    return jnp.asarray(x)
+                    return put(x)
 
-                weights = jnp.asarray(
+                weights = put(
                     np.concatenate([np.ones(n), np.zeros(pad)]).astype(np.float32)
                 )
-                cams = jnp.asarray(np.tile(cam_vec, (bs, 1)))
+                cams = put(np.tile(cam_vec, (bs, 1)))
 
                 key, sub = jax.random.split(key)
                 errors, preds, _ = self._step(

@@ -67,12 +67,12 @@ def _attn_fused_qkv_kernel(qkv_ref, o_ref, *, scale, num_heads, head_dim):
 
 def _tile_rows(B, N):
     """Batch-tile size: largest divisor of B under an empirically-tuned
-    target (measured on v5e: ~128 rows for the 17-token shape, ~4 rows for
+    target (measured on v5e: ~128 rows for the 17-token shape, ~8 rows for
     the 243-token shape — beyond that VMEM pressure erodes pipelining)."""
     if N <= 32:
         target = 128
     elif N <= 256:
-        target = 4
+        target = 8
     else:
         target = 1
     tb = 1
