@@ -163,7 +163,8 @@ def run_evaluation(args, data, d3dp_eval, params, key):
                 kps_left=data.kps_left, kps_right=data.kps_right,
                 joints_left=data.joints_left, joints_right=data.joints_right,
             )
-            result = evaluator.evaluate(params, gen, key)
+            nonlocal_key = jax.random.fold_in(key, hash(action_key) % (2**31))
+            result = evaluator.evaluate(params, gen, nonlocal_key)
             report_result(args, result, action_key)
             per_action[action_key] = result
 

@@ -1,6 +1,10 @@
 from d3dp_tpu.data.skeleton import Skeleton
 from d3dp_tpu.data.mocap import MocapDataset
-from d3dp_tpu.data.generators import ChunkedGenerator, UnchunkedGenerator
+from d3dp_tpu.data.generators import (
+    ChunkedGenerator,
+    UnchunkedGenerator,
+    UnchunkedGeneratorSeq2Seq,
+)
 from d3dp_tpu.data.windowing import window_sequence, stitch_windows
 
 __all__ = [
@@ -8,6 +12,7 @@ __all__ = [
     "MocapDataset",
     "ChunkedGenerator",
     "UnchunkedGenerator",
+    "UnchunkedGeneratorSeq2Seq",
     "window_sequence",
     "stitch_windows",
 ]

@@ -292,3 +292,40 @@ class UnchunkedGenerator:
                 yield batch_cam, batch_3d, batch_2d, self.valid_frames[idx], key
             else:
                 yield batch_cam, batch_3d, batch_2d
+
+
+class UnchunkedGeneratorSeq2Seq(UnchunkedGenerator):
+    """Unchunked variant that edge-pads both 2D and 3D by pad±causal_shift.
+
+    Parity with the reference's UnchunkedGenerator_Seq2Seq
+    (common/generators.py:251-327) — latent in the reference (never used by
+    any entry point) but part of its public surface.
+    """
+
+    def next_epoch(self):
+        from itertools import zip_longest
+
+        for seq_cam, seq_3d, seq_2d in zip_longest(
+            self.cameras, self.poses_3d, self.poses_2d
+        ):
+            pad_spec = ((self.pad + self.causal_shift,
+                         self.pad - self.causal_shift), (0, 0), (0, 0))
+            batch_cam = None if seq_cam is None else np.expand_dims(seq_cam, 0)
+            batch_3d = None if seq_3d is None else np.expand_dims(
+                np.pad(seq_3d, pad_spec, "edge"), 0)
+            batch_2d = np.expand_dims(np.pad(seq_2d, pad_spec, "edge"), 0)
+            if self.augment:
+                if batch_cam is not None:
+                    batch_cam = np.concatenate((batch_cam, batch_cam), axis=0)
+                    batch_cam[1, 2] *= -1
+                    batch_cam[1, 7] *= -1
+                if batch_3d is not None:
+                    batch_3d = np.concatenate((batch_3d, batch_3d), axis=0)
+                    batch_3d[1, :, :, 0] *= -1
+                    batch_3d[1, :, self.joints_left + self.joints_right] = (
+                        batch_3d[1, :, self.joints_right + self.joints_left])
+                batch_2d = np.concatenate((batch_2d, batch_2d), axis=0)
+                batch_2d[1, :, :, 0] *= -1
+                batch_2d[1, :, self.kps_left + self.kps_right] = (
+                    batch_2d[1, :, self.kps_right + self.kps_left])
+            yield batch_cam, batch_3d, batch_2d

@@ -8,7 +8,7 @@ run end-to-end and a denoiser can actually learn the 2D->3D lifting.
 
 import numpy as np
 
-from d3dp_tpu.geometry.camera import project_to_2d, normalize_screen_coordinates
+from d3dp_tpu.geometry.camera import project_to_2d
 import jax.numpy as jnp
 
 # H36M 17-joint symmetry (after 32->17 reduction)

@@ -26,8 +26,7 @@ Quirky reference semantics preserved (they affect metric parity):
 """
 
 from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -134,7 +134,7 @@ def main(args):
     from d3dp_tpu.diffusion import D3DP, D3DPConfig
     from d3dp_tpu.models import MixSTEConfig
     from d3dp_tpu.geometry.camera import (
-        normalize_screen_coordinates, camera_to_world, image_coordinates)
+        normalize_screen_coordinates, camera_to_world)
     from d3dp_tpu.train.checkpoint_io import load_any
 
     detector_2d = get_detector_2d(args.detector_2d)

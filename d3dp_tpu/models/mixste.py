@@ -30,7 +30,7 @@ Parity notes (things that silently break checkpoint parity if changed):
 """
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional
 
 import jax

@@ -201,3 +201,24 @@ class TestSynthetic:
         assert np.isfinite(p3[0]).all() and np.isfinite(p2[0]).all()
         # root-relative except trajectory in joint 0
         assert np.abs(p3[0][:, 1:]).max() < 3.0
+
+
+@needs_ref
+def test_seq2seq_generator_parity(rng):
+    from d3dp_tpu.data.generators import UnchunkedGeneratorSeq2Seq
+
+    ref_gen_mod = import_reference("common.generators")
+    cams, p3, p2 = small_data(rng)
+    kwargs = dict(
+        pad=3, causal_shift=1, augment=False,
+        kps_left=KPS_L, kps_right=KPS_R,
+        joints_left=KPS_L, joints_right=KPS_R,
+    )
+    ref = ref_gen_mod.UnchunkedGenerator_Seq2Seq(cams, p3, p2, **kwargs)
+    ours = UnchunkedGeneratorSeq2Seq(cams, p3, p2, **kwargs)
+    ref.set_augment(True)
+    ours.set_augment(True)
+    for (rc, r3, r2), (oc, o3, o2) in zip(ref.next_epoch(), ours.next_epoch()):
+        np.testing.assert_allclose(oc, rc, atol=1e-6)
+        np.testing.assert_allclose(o3, r3, atol=1e-6)
+        np.testing.assert_allclose(o2, r2, atol=1e-6)

@@ -106,3 +106,40 @@ def test_sharded_train_step():
                      jnp.asarray(np.asarray(x2d)), jnp.asarray(np.asarray(x3d)),
                      jnp.ones((B,), jnp.float32))
     assert abs(float(loss) - float(loss_r)) < 1e-5
+
+
+def test_bf16_training_decreases_loss():
+    """bf16 compute with fp32 params: the TPU-native fast training path."""
+    d3dp = D3DP(
+        D3DPConfig(
+            model=MixSTEConfig(num_frames=F, embed_dim=64, depth=2,
+                               dtype=jnp.bfloat16),
+            num_proposals=2, sampling_timesteps=2,
+            joints_left=tuple(JOINTS_LEFT), joints_right=tuple(JOINTS_RIGHT),
+        )
+    )
+    params = d3dp.init_params(jax.random.PRNGKey(0))
+    # params stay fp32 regardless of compute dtype
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(params))
+    tx = make_optimizer(3e-4)
+    state = TrainState.create(params, tx)
+    step = make_train_step(d3dp, tx, donate=False)
+
+    cams, p3, p2 = make_dataset(seed=0, lengths=(200,))
+    gen = ChunkedGenerator(
+        8, cams, p3, p2, chunk_length=F, shuffle=True, augment=True,
+        kps_left=JOINTS_LEFT, kps_right=JOINTS_RIGHT,
+        joints_left=JOINTS_LEFT, joints_right=JOINTS_RIGHT, pad_last=True)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for epoch in range(4):
+        ep = []
+        for cam, b3, b2, w in gen.next_epoch():
+            key, sub = jax.random.split(key)
+            state, loss = step(state, sub, jnp.asarray(b2), jnp.asarray(b3),
+                               jnp.asarray(w))
+            ep.append(float(loss))
+        losses.append(np.mean(ep))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
