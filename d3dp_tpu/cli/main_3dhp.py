@@ -235,6 +235,13 @@ def main(argv=None):
     n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
     print("INFO: Trainable parameter count:", n_params / 1e6, "Million")
 
+    if args.resume in ("auto", "latest"):
+        from d3dp_tpu.train.checkpoint_io import latest_checkpoint
+
+        found = latest_checkpoint(args.checkpoint)
+        args.resume = os.path.basename(found) if found else ""
+        print("Auto-resume:", args.resume or "(no checkpoint found)")
+
     if args.resume or args.evaluate:
         chk_filename = os.path.join(
             args.checkpoint, args.resume if args.resume else args.evaluate)

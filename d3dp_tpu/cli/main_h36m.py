@@ -409,6 +409,13 @@ def run_with_args(args):
     print("INFO: Trainable parameter count:", n_params / 1e6, "Million")
     print("INFO: Receptive field: {} frames".format(args.number_of_frames))
 
+    if args.resume in ("auto", "latest"):
+        from d3dp_tpu.train.checkpoint_io import latest_checkpoint
+
+        found = latest_checkpoint(args.checkpoint)
+        args.resume = os.path.basename(found) if found else ""
+        print("Auto-resume:", args.resume or "(no checkpoint found)")
+
     if args.resume or args.evaluate:
         chk_filename = os.path.join(
             args.checkpoint, args.resume if args.resume else args.evaluate)

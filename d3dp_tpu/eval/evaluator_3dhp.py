@@ -43,11 +43,19 @@ MODES = ("P_Agg", "P_Best", "J_Best", "J_Agg")
 
 class Evaluator3DHP:
     def __init__(self, d3dp, receptive_field=243, batch_size=2,
-                 quickdebug=False):
+                 quickdebug=False, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh — micro-batches shard over its
+        'dp' axis (batch_size must divide by dp)."""
         self.d3dp = d3dp
         self.rf = receptive_field
         self.bs = batch_size
         self.quickdebug = quickdebug
+        self._batch_sharding = None
+        if mesh is not None:
+            from d3dp_tpu.parallel import batch_sharding
+
+            assert batch_size % mesh.shape["dp"] == 0
+            self._batch_sharding = batch_sharding(mesh)
         self._step = jax.jit(
             self._eval_step, static_argnames=("distortion", "width", "height"))
 
@@ -124,11 +132,16 @@ class Evaluator3DHP:
                 lo, hi = b * self.bs, min((b + 1) * self.bs, W)
                 n, pad = hi - lo, self.bs - (hi - lo)
 
+                def put(x):
+                    if self._batch_sharding is not None:
+                        return jax.device_put(x, self._batch_sharding)
+                    return jnp.asarray(x)
+
                 def take(a):
                     x = a[lo:hi]
                     if pad:
                         x = np.concatenate([x, np.repeat(x[:1], pad, 0)], 0)
-                    return jnp.asarray(x)
+                    return put(x)
 
                 v = np.asarray(wv[lo:hi])
                 if pad:
@@ -138,7 +151,7 @@ class Evaluator3DHP:
                 key, sub = jax.random.split(key)
                 errors, selections = self._step(
                     params, sub, take(w2d), take(w2d_f), take(w3d),
-                    take(traj), jnp.asarray(v), jnp.asarray(cam),
+                    take(traj), put(v.astype(np.float32)), jnp.asarray(cam),
                     distortion=distortion, width=width, height=height)
 
                 weight = n * self.rf

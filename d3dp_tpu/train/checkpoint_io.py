@@ -39,6 +39,20 @@ def load_checkpoint(path):
         return pickle.load(f)
 
 
+def latest_checkpoint(directory):
+    """Newest epoch_N.ckpt in a directory, or best_epoch.ckpt, or None —
+    enables `--resume auto` elastic restart after interruption."""
+    import glob
+    import re
+
+    candidates = glob.glob(os.path.join(directory, "epoch_*.ckpt"))
+    if candidates:
+        return max(candidates,
+                   key=lambda p: int(re.findall(r"epoch_(\d+)", p)[0]))
+    best = os.path.join(directory, "best_epoch.ckpt")
+    return best if os.path.exists(best) else None
+
+
 def load_any(path, depth=8):
     """Load either our .ckpt pickle or a reference torch .bin.
 

@@ -1,0 +1,51 @@
+"""In-the-wild pipeline: video -> npz keypoints -> 3D, end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+def test_inference_video_npz(tmp_path, rng, monkeypatch):
+    from d3dp_tpu.in_the_wild import inference_video
+    from d3dp_tpu.train.checkpoint_io import save_checkpoint
+    from d3dp_tpu.diffusion import D3DP, D3DPConfig
+    from d3dp_tpu.models import MixSTEConfig
+    import jax
+
+    monkeypatch.chdir(tmp_path)
+
+    # a tiny grey video + precomputed keypoints beside it
+    vw = cv2.VideoWriter(str(tmp_path / "vid.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 48))
+    for _ in range(30):
+        vw.write(np.full((48, 64, 3), 128, np.uint8))
+    vw.release()
+    np.savez(tmp_path / "vid.npz",
+             kpts=(rng.rand(30, 17, 2) * 40).astype(np.float32))
+
+    d3dp = D3DP(D3DPConfig(model=MixSTEConfig(num_frames=9, embed_dim=64,
+                                              depth=2)))
+    params = d3dp.init_params(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "wild.ckpt")
+    save_checkpoint(ckpt, epoch=1, lr=1e-4, params=params)
+
+    out = inference_video(
+        str(tmp_path / "vid.mp4"), "npz", checkpoint=ckpt,
+        argv=["-f", "9", "-cs", "64", "-dep", "2", "-b", "36",
+              "-num_proposals", "2", "-sampling_timesteps", "2",
+              "--viz-limit", "1", "--platform", "cpu"])
+    assert out.shape == (2, 2, 30, 17, 3)
+    assert np.isfinite(out).all()
+    assert out[..., 2].min() >= 0  # height rebased
+    assert os.path.exists(tmp_path / "outputs" / "vid" /
+                          "test_3d_vid_output.npy")
+
+
+def test_unknown_detector_errors():
+    from d3dp_tpu.in_the_wild import get_detector_2d
+
+    with pytest.raises(AssertionError):
+        get_detector_2d("nonexistent_pose")

@@ -1,0 +1,54 @@
+"""Visualization smoke tests (Agg backend, pillow gif writer)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _skeleton():
+    from d3dp_tpu.data.h36m import h36m_skeleton, H36M_JOINTS_REMOVED
+
+    sk = h36m_skeleton()
+    sk.remove_joints(H36M_JOINTS_REMOVED)
+    sk._parents[11] = 8
+    sk._parents[14] = 8
+    return sk
+
+
+def test_render_animation_gif(tmp_path, rng):
+    from d3dp_tpu.viz.visualization import render_animation
+
+    T, J = 6, 17
+    keypoints = rng.rand(T, J, 2).astype(np.float32) * 200
+    poses = {"Reconstruction": rng.randn(T, J, 3).astype(np.float32) * 0.3}
+    out = str(tmp_path / "anim.gif")
+    render_animation(
+        keypoints,
+        {"keypoints_symmetry": ([4, 5, 6], [1, 2, 3])},
+        poses, _skeleton(), fps=5, bitrate=1000, azim=70.0, output=out,
+        viewport=(200, 200), limit=4, size=3)
+    assert os.path.getsize(out) > 1000
+
+
+def test_draw_3d_image_select(tmp_path, rng):
+    from d3dp_tpu.viz.visualization import draw_3d_image_select
+
+    K, H, T, J = 2, 3, 2, 17
+    pred = rng.randn(K, H, T, J, 3).astype(np.float32) * 0.3
+    gt = rng.randn(T, J, 3).astype(np.float32) * 0.3
+    pred_2d = rng.randn(K, H, T, J, 2).astype(np.float32)
+    gt_2d = rng.randn(T, J, 2).astype(np.float32)
+    draw_3d_image_select(pred, gt, _skeleton(), 70.0, "S1", "Walk", 0,
+                         gt_2d, pred_2d, out_dir=str(tmp_path))
+    files = os.listdir(tmp_path / "S1_Walk_0")
+    assert len(files) == T
+
+
+def test_downsample_tensor(rng):
+    from d3dp_tpu.viz.visualization import downsample_tensor
+
+    x = rng.randn(10, 4).astype(np.float32)
+    d = downsample_tensor(x, 2)
+    assert d.shape == (5, 4)
+    np.testing.assert_allclose(d[0], x[:2].mean(0), atol=1e-6)
