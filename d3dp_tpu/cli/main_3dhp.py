@@ -60,7 +60,7 @@ def _load_data(args):
     return p3_train, p2_train, p3_test, p2_test, valid
 
 
-def run_training(args, data, d3dp_train, d3dp_valid, params):
+def run_training(args, data, d3dp_train, d3dp_valid, params, writer=None):
     import copy
     import jax
     import jax.numpy as jnp
@@ -133,6 +133,12 @@ def run_training(args, data, d3dp_train, d3dp_valid, params):
         print(msg)
         with open(log_path, "a") as f:
             f.write(msg + "\n")
+        if writer is not None:
+            writer.add_scalar("Loss/3d training loss", train_loss, epoch + 1)
+            if valid_pbest is not None:
+                writer.add_scalar("Loss/3d validation loss", valid_pbest,
+                                  epoch + 1)
+            writer.add_scalar("Parameters/learning rate", lr, epoch + 1)
 
         lr *= args.lr_decay
         state = state.replace(opt_state=set_lr(state.opt_state, lr))
@@ -214,9 +220,14 @@ def main(argv=None):
     from d3dp_tpu.train.checkpoint_io import load_any
 
     TIMESTAMP = "{0:%Y%m%dT%H-%M-%S}".format(datetime.now())
+    writer = None
     if not args.nolog:
+        from d3dp_tpu.utils.logging import TensorBoardWriter
+
         logdir = args.log + "_" + TIMESTAMP
         os.makedirs(logdir, exist_ok=True)
+        writer = TensorBoardWriter(logdir)
+        writer.add_text("command", "python " + " ".join(sys.argv))
         sys.stdout = Logger(os.path.join(logdir, "logging.log"))
     print("Evaluate!" if args.evaluate else "Train!")
     print("JAX devices:", jax.devices())
@@ -256,7 +267,10 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         run_evaluation(args, data, d3dp_eval, params, sub)
     else:
-        run_training(args, data, d3dp_train, d3dp_valid, params)
+        run_training(args, data, d3dp_train, d3dp_valid, params,
+                     writer=writer)
+    if writer is not None:
+        writer.close()
 
 
 if __name__ == "__main__":

@@ -257,6 +257,7 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer):
 
     epoch = 0
     min_loss = args.min_loss
+    train_curve, valid_curve = [], []
     key = jax.random.PRNGKey(args.seed)
 
     if args.resume:
@@ -364,6 +365,29 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer):
             _save(os.path.join(args.checkpoint, "best_epoch.ckpt"))
             with open(log_path, "a") as f:
                 f.write("best epoch\n")
+
+        train_curve.append(train_loss * 1000)
+        if valid_pbest is not None:
+            valid_curve.append(valid_pbest)
+        # loss-curve PNGs (reference main.py:575-592)
+        if args.export_training_curves and epoch > 3:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.figure()
+            epoch_x = np.arange(3, len(train_curve)) + 1
+            plt.plot(epoch_x, train_curve[3:], "--", color="C0")
+            if len(valid_curve) > 3:
+                plt.plot(epoch_x[: len(valid_curve) - 3], valid_curve[3:],
+                         color="C1")
+            plt.legend(["3d train", "3d valid (eval)"])
+            plt.ylabel("MPJPE (mm)")
+            plt.xlabel("Epoch")
+            plt.xlim((3, epoch))
+            plt.savefig(os.path.join(args.checkpoint, "loss_3d.png"))
+            plt.close("all")
 
     return state
 
