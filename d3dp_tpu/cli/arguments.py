@@ -130,6 +130,9 @@ def build_parser(in_the_wild=False):
                         help="tensor-parallel mesh size")
     parser.add_argument("--seed", type=int, default=1,
                         help="global seed (reference fixes 1, main.py:67-71)")
+    parser.add_argument("--profile", default="", metavar="DIR",
+                        help="capture a jax.profiler trace of the first "
+                             "training steps into DIR (TensorBoard/Perfetto)")
     parser.add_argument("--synthetic-frames", type=int, default=1200,
                         help="--dataset synthetic: total frames per split")
 

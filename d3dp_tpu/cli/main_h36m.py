@@ -282,8 +282,14 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer):
     print("** Note: reported losses are averaged over all frames.")
     log_path = os.path.join(args.checkpoint, "training_log.txt")
 
+    profiled = False
     while epoch < args.epochs:
         start_time = time()
+        if args.profile and not profiled:
+            from d3dp_tpu.utils.profiling import trace as profiler_trace
+            profiled = True
+            prof_cm = profiler_trace(args.profile)
+            prof_cm.__enter__()
         epoch_loss, N = 0.0, 0
         quickdebug = args.debug
 
@@ -305,6 +311,9 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer):
             step_weights.append(n_chunks * args.number_of_frames)
             if quickdebug:
                 break
+        if args.profile and profiled and epoch == 0:
+            prof_cm.__exit__(None, None, None)
+            print(f"profiler trace written to {args.profile}")
         losses_np = np.asarray(jnp.stack(step_losses))
         weights_np = np.asarray(step_weights, dtype=np.float64)
         epoch_loss = float((losses_np * weights_np).sum())
