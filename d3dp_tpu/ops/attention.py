@@ -32,11 +32,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, head_dim):
 
 
 def _attn_head(q, k, v, o_ref, sl, scale):
+    # full fp32 MXU passes for f32 inputs (Mosaic defaults low like XLA);
+    # bf16 inputs are unaffected
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     # batched (TB, N, D) x (TB, N, D)^T -> (TB, N, N), fp32 accumulate
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     s = s * scale
     # fp32 softmax, stable (matches the reference's fp32 torch softmax)
@@ -49,6 +53,7 @@ def _attn_head(q, k, v, o_ref, sl, scale):
         a, v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     o_ref[:, :, sl] = o.astype(o_ref.dtype)
 

@@ -58,12 +58,18 @@ def _layernorm(x, scale, bias, eps):
         x.dtype)
 
 
+def _prec(dtype):
+    """Full fp32 MXU passes for f32 inputs (Mosaic defaults low)."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def _matmul3(x, w, b):
     """(TB,N,Ci) @ (Ci,Co) + (Co,) -> (TB,N,Co), fp32 accumulate."""
     y = jax.lax.dot_general(
         x, w,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_prec(x.dtype),
     )
     return (y + b.astype(jnp.float32)).astype(x.dtype)
 
@@ -87,7 +93,7 @@ def _block_kernel(x_ref,
         v = qkv[:, :, 2 * C + hi * head_dim : 2 * C + (hi + 1) * head_dim]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=_prec(q.dtype))
         s = s * scale
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
@@ -96,7 +102,8 @@ def _block_kernel(x_ref,
         attn.append(
             jax.lax.dot_general(
                 a, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32).astype(x.dtype))
+                preferred_element_type=jnp.float32,
+                precision=_prec(q.dtype)).astype(x.dtype))
     attn_out = jnp.concatenate(attn, axis=-1)
 
     x2 = x + _matmul3(attn_out, proj_w[...], proj_b[0])
