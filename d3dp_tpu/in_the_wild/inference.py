@@ -80,6 +80,38 @@ def get_detector_2d(detector_name):
     return detector_map[detector_name]()
 
 
+def split_video(video_path, segment_frames=1000, out_dir=None):
+    """Split a long video into fixed-length segments (cv2), returning the
+    written paths. (reference: in_the_wild/utils.py:139)"""
+    import cv2
+
+    out_dir = out_dir or os.path.dirname(video_path) or "."
+    base = os.path.splitext(os.path.basename(video_path))[0]
+    cap = cv2.VideoCapture(video_path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    paths, writer, idx, n = [], None, 0, 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if n % segment_frames == 0:
+            if writer is not None:
+                writer.release()
+            path = os.path.join(out_dir, f"{base}_part{idx:03d}.mp4")
+            writer = cv2.VideoWriter(path, fourcc, fps, (w, h))
+            paths.append(path)
+            idx += 1
+        writer.write(frame)
+        n += 1
+    if writer is not None:
+        writer.release()
+    cap.release()
+    return paths
+
+
 def video_frame_size(video_path):
     import cv2
 

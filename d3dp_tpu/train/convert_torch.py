@@ -107,6 +107,32 @@ def torch_mixste_to_flax(state_dict, depth: int):
     return p
 
 
+def load_pretrained_params(params, loaded):
+    """Lenient weight merge: copy leaves whose path+shape match, keep the
+    rest, report counts. (reference: common/utils.py:42-73 —
+    load_pretrained_weights ignores unmatched layers.)"""
+    import jax
+
+    flat_p = {tuple(str(k) for k in kp): v
+              for kp, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+    flat_l = {tuple(str(k) for k in kp): v
+              for kp, v in jax.tree_util.tree_flatten_with_path(loaded)[0]}
+    matched, discarded = 0, 0
+    out = dict(flat_p)
+    for key, v in flat_l.items():
+        if key in flat_p and np.shape(flat_p[key]) == np.shape(v):
+            out[key] = v
+            matched += 1
+        else:
+            discarded += 1
+    print(f"load_weight {matched} (discarded {discarded})")
+    # rebuild the tree
+    treedef = jax.tree_util.tree_structure(params)
+    keys = [tuple(str(k) for k in kp)
+            for kp, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    return jax.tree_util.tree_unflatten(treedef, [out[k] for k in keys])
+
+
 def load_reference_checkpoint(path, depth: int = 8):
     """Load a reference .bin checkpoint file -> (flax params, metadata)."""
     import torch
