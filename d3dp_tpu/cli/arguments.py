@@ -130,6 +130,10 @@ def build_parser(in_the_wild=False):
                         help="tensor-parallel mesh size")
     parser.add_argument("--seed", type=int, default=1,
                         help="global seed (reference fixes 1, main.py:67-71)")
+    parser.add_argument("--eval-batch-size", type=int, default=0, metavar="N",
+                        help="eval windows per jitted step (0 = use -b, the "
+                             "reference behaviour; set small when -b is a "
+                             "large training batch)")
     parser.add_argument("--profile", default="", metavar="DIR",
                         help="capture a jax.profiler trace of the first "
                              "training steps into DIR (TensorBoard/Perfetto)")

@@ -124,7 +124,7 @@ def run_evaluation(args, data, d3dp_eval, params, key):
     evaluator = Evaluator(
         d3dp_eval,
         receptive_field=args.number_of_frames,
-        batch_size=args.batch_size,
+        batch_size=args.eval_batch_size or args.batch_size,
         kps_left=data.kps_left,
         kps_right=data.kps_right,
         p2=args.p2,
@@ -251,7 +251,8 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer):
 
     validator = Evaluator(
         d3dp_valid, receptive_field=args.number_of_frames,
-        batch_size=args.batch_size, kps_left=data.kps_left,
+        batch_size=args.eval_batch_size or args.batch_size,
+        kps_left=data.kps_left,
         kps_right=data.kps_right, quickdebug=args.debug, light=True,
     )
 
