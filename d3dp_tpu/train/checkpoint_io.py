@@ -53,6 +53,39 @@ def latest_checkpoint(directory):
     return best if os.path.exists(best) else None
 
 
+def save_checkpoint_orbax(directory, *, epoch, lr, params, opt_state=None,
+                          min_loss=None):
+    """Orbax backend: same logical payload in a sharding-aware, async-capable
+    format (preferred for multi-host runs; the pickle format stays the
+    single-host default for its self-containedness)."""
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "params": _to_numpy(params),
+        "opt_state": None if opt_state is None else _to_numpy(opt_state),
+        "meta": {"epoch": epoch, "lr": lr, "min_loss": min_loss},
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(directory), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(directory):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(os.path.abspath(directory))
+    meta = payload.get("meta", {})
+    return {
+        "params": payload["params"],
+        "opt_state": payload.get("opt_state"),
+        "epoch": meta.get("epoch"),
+        "lr": meta.get("lr"),
+        "min_loss": meta.get("min_loss"),
+        "random_state": None,
+    }
+
+
 def load_any(path, depth=8):
     """Load either our .ckpt pickle or a reference torch .bin.
 

@@ -85,3 +85,21 @@ def test_load_reference_bin(tmp_path, rng):
             torch.zeros(2, dtype=torch.long),
         ).numpy()
     np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def test_orbax_roundtrip(tmp_path):
+    from d3dp_tpu.train.checkpoint_io import (
+        save_checkpoint_orbax, load_checkpoint_orbax)
+    from d3dp_tpu.diffusion import D3DP, D3DPConfig
+    from d3dp_tpu.models import MixSTEConfig
+
+    d3dp = D3DP(D3DPConfig(model=MixSTEConfig(num_frames=9, embed_dim=64,
+                                              depth=2)))
+    params = d3dp.init_params(jax.random.PRNGKey(0))
+    d = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(d, epoch=5, lr=1e-4, params=params, min_loss=9.0)
+    ckpt = load_checkpoint_orbax(d)
+    assert ckpt["epoch"] == 5 and ckpt["min_loss"] == 9.0
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(ckpt["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
