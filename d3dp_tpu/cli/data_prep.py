@@ -49,6 +49,10 @@ def prepare_h36m(args):
     from d3dp_tpu.data.h36m import Human36mDataset
 
     dataset_path = os.path.join("data", f"data_3d_{args.dataset}.npz")
+    if not os.path.exists(dataset_path):
+        raise FileNotFoundError(
+            f"{dataset_path} not found — see DATASETS.md for dataset setup, "
+            "or use '-d synthetic' for a no-data smoke run")
     dataset = Human36mDataset(dataset_path)
 
     # world -> camera, root-split trajectory (main.py:99-109)
@@ -70,6 +74,9 @@ def prepare_h36m(args):
                 anim["positions_3d"] = positions_3d
 
     kp_path = os.path.join("data", f"data_2d_{args.dataset}_{args.keypoints}.npz")
+    if not os.path.exists(kp_path):
+        raise FileNotFoundError(
+            f"{kp_path} not found — see DATASETS.md for dataset setup")
     keypoints_file = np.load(kp_path, allow_pickle=True)
     keypoints_metadata = keypoints_file["metadata"].item()
     keypoints_symmetry = keypoints_metadata["keypoints_symmetry"]

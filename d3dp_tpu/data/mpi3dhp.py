@@ -11,6 +11,8 @@ Camera constants (published 3DHP calibration, main_3dhp.py:697-704) and the
 mm->pixel conversion (cam_mm_to_pix, main_3dhp.py:334-343).
 """
 
+import os
+
 import numpy as np
 
 from d3dp_tpu.geometry.camera import normalize_screen_coordinates
@@ -67,6 +69,10 @@ def _root_center(data_3d):
 def load_train(path="./data/data_train_3dhp_ori.npz"):
     """-> (poses_3d, poses_2d) dicts keyed (subject, seq, cam).
     (main_3dhp.py:122-136)"""
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} not found — see DATASETS.md for dataset setup, or use "
+            "'-d synthetic' for a no-data smoke run")
     data_train = np.load(path, allow_pickle=True)["data"].item()
     poses_3d, poses_2d = {}, {}
     for seq in data_train.keys():
@@ -85,6 +91,9 @@ def load_train(path="./data/data_train_3dhp_ori.npz"):
 def load_test(path="./data/data_test_3dhp_ori.npz"):
     """-> (poses_3d, poses_2d, valid_frame) dicts keyed TS1..TS6.
     (main_3dhp.py:139-160)"""
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{path} not found — see DATASETS.md for dataset setup")
     data_test = np.load(path, allow_pickle=True)["data"].item()
     poses_3d, poses_2d, valid_frame = {}, {}, {}
     for seq in data_test.keys():
