@@ -40,3 +40,33 @@ def test_train_then_evaluate(tmp_path):
     assert "Protocol #1 Error (MPJPE) J_Agg" in r2.stdout
     # per-config txt log written like the reference (main.py:745)
     assert os.path.exists(os.path.join(tmp_path, "h36m_test_log_H2_K2.txt"))
+
+
+@pytest.mark.slow
+def test_3dhp_train_then_evaluate(tmp_path):
+    cmd = [
+        sys.executable, "main_3dhp.py", "-d", "synthetic", "--nolog",
+        "-f", "27", "-cs", "64", "-dep", "2", "-s", "27",
+        "--synthetic-frames", "108", "-c", str(tmp_path), "--platform", "cpu",
+        "--debug", "-e", "1", "-b", "108", "-cf", "1",
+    ]
+    r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                       timeout=560)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(tmp_path, "best_epoch.ckpt"))
+
+    cmd = [
+        sys.executable, "main_3dhp.py", "-d", "synthetic", "--nolog",
+        "-f", "27", "-cs", "64", "-dep", "2", "-s", "27",
+        "--synthetic-frames", "108", "-c", str(tmp_path), "--platform", "cpu",
+        "--evaluate", "best_epoch.ckpt",
+        "-num_proposals", "2", "-sampling_timesteps", "2",
+    ]
+    r2 = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                        timeout=560)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "P_Best" in r2.stdout
+    # four aggregation-mode exports for the PCK/AUC harness
+    for mode in ("P_Agg", "P_Best", "J_Best", "J_Agg"):
+        assert os.path.exists(
+            os.path.join(tmp_path, f"inference_data_{mode}.mat"))
