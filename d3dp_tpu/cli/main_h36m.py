@@ -163,8 +163,12 @@ def run_evaluation(args, data, d3dp_eval, params, key):
                 kps_left=data.kps_left, kps_right=data.kps_right,
                 joints_left=data.joints_left, joints_right=data.joints_right,
             )
-            nonlocal_key = jax.random.fold_in(key, hash(action_key) % (2**31))
-            result = evaluator.evaluate(params, gen, nonlocal_key)
+            # stable per-action key (hash() is salted per process)
+            import zlib
+
+            action_key_int = zlib.crc32(action_key.encode()) % (2**31)
+            result = evaluator.evaluate(
+                params, gen, jax.random.fold_in(key, action_key_int))
             report_result(args, result, action_key)
             per_action[action_key] = result
 
