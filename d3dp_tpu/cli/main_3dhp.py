@@ -72,7 +72,8 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer=None):
 
     p3_train, p2_train, p3_test, p2_test, valid = data
 
-    tx = make_optimizer(args.learning_rate, weight_decay=0.1)
+    lr = args.learning_rate
+    tx = make_optimizer(lr, weight_decay=0.1)
     state = TrainState.create(params, tx)
     step = make_train_step(d3dp_train, tx, root_joint=ROOT_JOINT)
 
@@ -90,12 +91,33 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer=None):
     print(f"INFO: Training on {sum(p.shape[0] for p in p2_train.values())} frames")
 
     validator = Evaluator3DHP(
-        d3dp_valid, receptive_field=args.number_of_frames, batch_size=2,
-        quickdebug=args.debug)
+        d3dp_valid, receptive_field=args.number_of_frames,
+        batch_size=args.eval_batch_size or 2, quickdebug=args.debug)
 
     epoch, min_loss = 0, args.min_loss
     key = jax.random.PRNGKey(args.seed)
     log_path = os.path.join(args.checkpoint, "training_log.txt")
+
+    # full resume: epoch, optimizer, lr, generator RNG (reference
+    # main_3dhp.py:377-385); run_with_args already restored the weights
+    if args.resume:
+        from d3dp_tpu.train.checkpoint_io import load_checkpoint
+
+        ckpt = load_checkpoint(os.path.join(args.checkpoint, args.resume))
+        epoch = ckpt["epoch"]
+        if ckpt.get("opt_state") is not None:
+            state = state.replace(
+                opt_state=jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"]))
+            if ckpt.get("random_state") is not None:
+                train_generator.set_random_state(ckpt["random_state"])
+        else:
+            print("WARNING: this checkpoint does not contain an optimizer "
+                  "state. The optimizer will be reinitialized.")
+        if not args.coverlr and ckpt.get("lr") is not None:
+            lr = ckpt["lr"]
+        state = state.replace(opt_state=set_lr(state.opt_state, lr))
+        if ckpt.get("min_loss") is not None:
+            min_loss = ckpt["min_loss"]
 
     while epoch < args.epochs:
         start_time = time()
@@ -104,7 +126,9 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer=None):
 
         batches = Prefetcher(
             train_generator.next_epoch(),
-            to_device=device_put_batches(1, 2, 3), depth=2)
+            to_device=device_put_batches(1, 2), depth=2)  # weights stay
+        # host-side: their sum is the step count and must not force a
+        # device sync
         for batch in batches:
             _, b3, b2, w = batch
             key, sub = jax.random.split(key)
@@ -176,8 +200,8 @@ def run_evaluation(args, data, d3dp_eval, params, key):
         valid_frames=[valid[k] for k in test_keys], keys=test_keys)
 
     evaluator = Evaluator3DHP(
-        d3dp_eval, receptive_field=args.number_of_frames, batch_size=2,
-        quickdebug=args.debug)
+        d3dp_eval, receptive_field=args.number_of_frames,
+        batch_size=args.eval_batch_size or 2, quickdebug=args.debug)
     results, exports = evaluator.evaluate(
         params, test_generator, key, export_dir=args.checkpoint)
 

@@ -212,7 +212,8 @@ def run_evaluation(args, data, d3dp_eval, params, key):
     return results
 
 
-def run_training(args, data, d3dp_train, d3dp_valid, params, writer):
+def run_training(args, data, d3dp_train, d3dp_valid, params, writer,
+                 resume_ckpt=None):
     """Training loop. (reference: main.py:304-592)"""
     import copy
     import jax
@@ -266,7 +267,8 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer):
     key = jax.random.PRNGKey(args.seed)
 
     if args.resume:
-        ckpt = load_checkpoint(os.path.join(args.checkpoint, args.resume))
+        ckpt = resume_ckpt or load_checkpoint(
+            os.path.join(args.checkpoint, args.resume))
         epoch = ckpt["epoch"]
         state = TrainState.create(
             jax.tree_util.tree_map(jnp.asarray, ckpt["params"]), tx)
@@ -305,7 +307,9 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer):
 
         batches = Prefetcher(
             train_generator.next_epoch(),
-            to_device=device_put_batches(1, 2, 3), depth=2)
+            to_device=device_put_batches(1, 2), depth=2)  # weights stay
+        # host-side: their sum is the step count and must not force a
+        # device sync
         for batch in batches:
             cam, b3, b2, w = batch
             key, sub = jax.random.split(key)
@@ -454,15 +458,17 @@ def run_with_args(args):
         args.resume = os.path.basename(found) if found else ""
         print("Auto-resume:", args.resume or "(no checkpoint found)")
 
+    loaded_ckpt = None
     if args.resume or args.evaluate:
         chk_filename = os.path.join(
             args.checkpoint, args.resume if args.resume else args.evaluate)
         print("Loading checkpoint", chk_filename)
-        ckpt = load_any(chk_filename, depth=args.dep)
-        print("This model was trained for {} epochs".format(ckpt.get("epoch")))
+        loaded_ckpt = load_any(chk_filename, depth=args.dep)
+        print("This model was trained for {} epochs".format(
+            loaded_ckpt.get("epoch")))
         import jax.numpy as jnp
 
-        params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        params = jax.tree_util.tree_map(jnp.asarray, loaded_ckpt["params"])
 
     if args.evaluate:
         print("Evaluating...")
@@ -474,7 +480,8 @@ def run_with_args(args):
 
         run_render(args, data, d3dp_eval, params, key)
     else:
-        run_training(args, data, d3dp_train, d3dp_valid, params, writer)
+        run_training(args, data, d3dp_train, d3dp_valid, params, writer,
+                     resume_ckpt=loaded_ckpt)
 
     if writer is not None:
         writer.close()

@@ -42,7 +42,8 @@ def run_render(args, data, d3dp_eval, params, key):
     # (W, K, H, F, J, 3): take final DDIM step, first hypothesis (like the
     # reference's squeeze of the H=1 K=1 render model, main.py:810)
     windows = preds[:, -1, 0]
-    prediction = stitch_windows(windows, ground_truth.shape[0])
+    total_frames = input_keypoints.shape[0]
+    prediction = stitch_windows(windows, total_frames)
 
     if args.viz_export is not None:
         print("Exporting joint positions to", args.viz_export)

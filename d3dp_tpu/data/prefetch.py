@@ -30,11 +30,20 @@ class Prefetcher:
     def __iter__(self):
         q = queue.Queue(maxsize=self.depth)
         err = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for batch in self.iterable:
-                    q.put(self.to_device(batch))
+                    item = self.to_device(batch)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface worker errors in the consumer
                 err.append(e)
             finally:
@@ -42,12 +51,22 @@ class Prefetcher:
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _Stop:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _Stop:
+                    break
+                yield item
+        finally:
+            # consumer stopped (break / exception / GC): release the worker
+            # and drop any staged device batches
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5)
         if err:
             raise err[0]
 

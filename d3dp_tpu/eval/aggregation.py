@@ -20,12 +20,20 @@ def select_p_agg(preds):
     return jnp.mean(preds, axis=2)
 
 
-def select_p_best(preds, target):
+def select_p_best(preds, target, weights=None):
     """Best whole-pose hypothesis PER DDIM STEP, shared across the
     micro-batch — the reference computes argmin of the per-(k,h) mean error
-    over the whole batch (main_3dhp.py:787-797). -> (B,K,F,J,3)."""
+    over the whole batch (main_3dhp.py:787-797). -> (B,K,F,J,3).
+
+    `weights`: optional (B,) 0/1 mask excluding padded duplicate windows
+    from the selection statistic (the reference never pads)."""
     errors = _norm(preds - target[:, None, None])  # (B,K,H,F,J)
-    per_kh = jnp.mean(errors, axis=(0, 3, 4))  # (K,H)
+    if weights is not None:
+        w = weights[:, None, None, None, None].astype(errors.dtype)
+        denom = jnp.sum(weights) * errors.shape[3] * errors.shape[4]
+        per_kh = jnp.sum(errors * w, axis=(0, 3, 4)) / denom  # (K,H)
+    else:
+        per_kh = jnp.mean(errors, axis=(0, 3, 4))  # (K,H)
     onehot = jax.nn.one_hot(jnp.argmin(per_kh, axis=1), preds.shape[2],
                             dtype=preds.dtype)  # (K,H)
     return jnp.einsum("bkhfjc,kh->bkfjc", preds, onehot)

@@ -68,7 +68,7 @@ class EvalResult:
 class Evaluator:
     def __init__(self, d3dp, receptive_field=243, batch_size=4,
                  kps_left=None, kps_right=None, p2=False, quickdebug=False,
-                 mm_to_m=1.0, light=False, mesh=None):
+                 light=False, mesh=None):
         """`light=True` computes only P-Best (no JPMA reprojection) — the
         reference's end-of-epoch validation metric (main.py:455).
 
@@ -83,7 +83,6 @@ class Evaluator:
         self.kps_right = kps_right
         self.p2 = p2
         self.quickdebug = quickdebug
-        self.mm_to_m = mm_to_m
         self.light = light
         self.mesh = mesh
         self._batch_sharding = None
@@ -135,9 +134,11 @@ class Evaluator:
     def evaluate(self, params, generator, key, return_predictions=False):
         """Run the full eval loop over an UnchunkedGenerator.
 
-        Returns EvalResult (or, with return_predictions, the raw prediction
-        stack of the first micro-batch, like the reference's --render path,
-        main.py:702-703).
+        Returns EvalResult — or, with return_predictions, the raw
+        prediction stack (W, K, H, F, J, 3) of ALL windows of the first
+        sequence (the reference's --render path returns only the first
+        micro-batch, main.py:702-703, leaving garbage frames when a sequence
+        has more windows than the batch size).
         """
         result = EvalResult()
         rf, bs = self.rf, self.bs
@@ -146,7 +147,12 @@ class Evaluator:
         for item in generator.next_epoch():
             cam, batch_3d, batch_2d = item[:3]
             seq_2d = np.asarray(batch_2d[0], dtype=np.float32)
-            seq_3d = np.asarray(batch_3d[0], dtype=np.float32)
+            if batch_3d is None:
+                # unlabeled sequence (--render without GT): sample against a
+                # zero target; only the predictions are meaningful
+                seq_3d = np.zeros(seq_2d.shape[:2] + (3,), np.float32)
+            else:
+                seq_3d = np.asarray(batch_3d[0], dtype=np.float32)
             cam_vec = np.asarray(cam[0], dtype=np.float32)
 
             # keypoint-symmetry flip of the conditioning (main.py:645-648)
@@ -164,6 +170,7 @@ class Evaluator:
 
             W = w2d.shape[0]
             n_batches = (W + bs - 1) // bs
+            pred_parts = []
             for b in range(n_batches):
                 lo, hi = b * bs, min((b + 1) * bs, W)
                 n = hi - lo
@@ -191,7 +198,13 @@ class Evaluator:
                     take(traj), cams, weights, need_preds=(self.p2 or return_predictions),
                 )
                 if return_predictions:
-                    return np.asarray(preds)[:n]
+                    # collect ALL windows of the first sequence (the
+                    # reference returns only the first micro-batch,
+                    # main.py:702-703 — garbage frames when windows > bs)
+                    pred_parts.append(np.asarray(preds)[:n])
+                    if b == n_batches - 1:
+                        return np.concatenate(pred_parts, axis=0)
+                    continue
 
                 errors_p2 = None
                 if self.p2:

@@ -59,7 +59,8 @@ class Evaluator3DHP:
         self._step = jax.jit(
             self._eval_step, static_argnames=("distortion", "width", "height"))
 
-    def _eval_step(self, params, key, x2d, x2d_flip, x3d, traj, valid, cam,
+    def _eval_step(self, params, key, x2d, x2d_flip, x3d, traj, valid,
+                   win_weights, cam,
                    distortion=False, width=2048, height=2048):
         """One micro-batch. x3d root(14)-zeroed target in mm; traj (B,F,1,3);
         valid (B,F) 0/1 incl. padded-window zeros; cam (9,) pixel intrinsics.
@@ -85,7 +86,7 @@ class Evaluator3DHP:
 
         selections = {
             "P_Agg": select_p_agg(preds),
-            "P_Best": select_p_best(preds, x3d),
+            "P_Best": select_p_best(preds, x3d, weights=win_weights),
             "J_Best": select_j_best(preds, x3d),
             "J_Agg": select_j_agg(preds, reproj, target_2d),
         }
@@ -148,10 +149,13 @@ class Evaluator3DHP:
                     v = np.concatenate([v, np.zeros((pad,) + v.shape[1:],
                                                     np.float32)], 0)
 
+                win_w = np.concatenate(
+                    [np.ones(n, np.float32), np.zeros(pad, np.float32)])
                 key, sub = jax.random.split(key)
                 errors, selections = self._step(
                     params, sub, take(w2d), take(w2d_f), take(w3d),
-                    take(traj), put(v.astype(np.float32)), jnp.asarray(cam),
+                    take(traj), put(v.astype(np.float32)), put(win_w),
+                    jnp.asarray(cam),
                     distortion=distortion, width=width, height=height)
 
                 weight = n * self.rf

@@ -1,5 +1,11 @@
 """Fully-fused MixSTE transformer block as one Pallas kernel.
 
+STATUS: EXPERIMENTAL — not wired into the product model. At VMEM-feasible
+batch tiles Mosaic's matmul throughput loses more than the fusion saves
+(measured 13.6ms vs ~11.5ms decomposed for the temporal shape; see
+PERFORMANCE.md "what we tried that did NOT win"). Kept as the starting
+point for a future cross-block-residency design.
+
 One grid cell executes, entirely in VMEM for a (TB, N, C) activation tile:
 
     h   = LayerNorm1(x)
