@@ -74,14 +74,16 @@ def main():
     hf_per_sec = B * H * F * K / elapsed
 
     # secondary: training-step throughput at the reference batch size
-    # (4 chunks x 243 frames, flip-augmented equivalent shapes, fp32+xla —
-    # the differentiable path)
+    # (4 chunks x 243 frames; bf16 compute + custom-VJP pallas attention,
+    # fp32 master weights — the fast training path; the fp32+xla parity
+    # path runs at ~4.4k frames/s)
     from d3dp_tpu.train.state import TrainState, make_optimizer, make_train_step
 
     d3dp_tr = D3DP(
         D3DPConfig(
             model=MixSTEConfig(num_frames=F, embed_dim=512, depth=8,
-                               drop_path_rate=0.1),
+                               drop_path_rate=0.1, dtype=jnp.bfloat16,
+                               attention_impl="pallas"),
             num_proposals=1, sampling_timesteps=1,
         )
     )

@@ -32,6 +32,8 @@ def _build_models(args):
     attn = args.attention
     if attn == "auto":
         attn = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    # training keeps the xla path unless pallas is requested explicitly
+    train_attn = "pallas" if args.attention == "pallas" else "xla"
     mk_model = lambda dpr, impl="xla": MixSTEConfig(
         num_frames=args.number_of_frames, embed_dim=args.cs, depth=args.dep,
         drop_rate=args.dropout, drop_path_rate=dpr, dtype=dtype,
@@ -42,7 +44,7 @@ def _build_models(args):
         flip_tta=args.test_time_augmentation,
         unit_scale=1000.0,  # 3DHP data is in millimetres
     )
-    d3dp_train = D3DP(D3DPConfig(model=mk_model(0.1), **common))
+    d3dp_train = D3DP(D3DPConfig(model=mk_model(0.1, train_attn), **common))
     d3dp_valid = D3DP(D3DPConfig(model=mk_model(0.0, attn), num_proposals=1,
                                  sampling_timesteps=1, **common))
     d3dp_eval = D3DP(D3DPConfig(model=mk_model(0.0, attn),

@@ -32,6 +32,8 @@ def _build_models(args, data):
     attn = args.attention
     if attn == "auto":
         attn = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    # training keeps the xla path unless pallas is requested explicitly
+    train_attn = "pallas" if args.attention == "pallas" else "xla"
     # training always uses the differentiable xla path; eval models may use
     # the fused pallas kernel (forward-only)
     mk_model = lambda dpr, impl="xla": MixSTEConfig(
@@ -51,7 +53,7 @@ def _build_models(args, data):
         joints_right=tuple(data.joints_right),
         flip_tta=args.test_time_augmentation,
     )
-    d3dp_train = D3DP(D3DPConfig(model=mk_model(0.1), **common))
+    d3dp_train = D3DP(D3DPConfig(model=mk_model(0.1, train_attn), **common))
     # end-of-epoch validation model: H=1, K=1 (main.py:229)
     d3dp_valid = D3DP(D3DPConfig(model=mk_model(0.0, attn), num_proposals=1,
                                  sampling_timesteps=1, **common))

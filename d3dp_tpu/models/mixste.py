@@ -123,9 +123,11 @@ class Attention(nn.Module):
         )(x)
 
         if self.impl == "pallas":
-            from d3dp_tpu.ops.attention import fused_attention_qkv
+            from d3dp_tpu.ops.attention import fused_attention_qkv_ad
 
-            out = fused_attention_qkv(qkv, h, scale).reshape(B, N, h, dh)
+            assert self.attn_drop == 0.0, (
+                "pallas attention does not implement attention dropout")
+            out = fused_attention_qkv_ad(qkv, h, scale).reshape(B, N, h, dh)
         else:
             qkv = qkv.reshape(B, N, 3, h, dh)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B,N,h,dh)

@@ -122,6 +122,100 @@ def fused_attention_packed(q, k, v, num_heads, scale, interpret=None):
     )(q, k, v)
 
 
+def _attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, scale, num_heads,
+                     head_dim, f32_prec):
+    """Backward of fused attention: recompute the softmax (flash-style, no
+    saved probabilities) and emit d(qkv) in the packed layout."""
+    C = num_heads * head_dim
+    prec = jax.lax.Precision.HIGHEST if f32_prec else None
+    for hi in range(num_heads):
+        q = qkv_ref[:, :, hi * head_dim : (hi + 1) * head_dim]
+        k = qkv_ref[:, :, C + hi * head_dim : C + (hi + 1) * head_dim]
+        v = qkv_ref[:, :, 2 * C + hi * head_dim : 2 * C + (hi + 1) * head_dim]
+        do = do_ref[:, :, hi * head_dim : (hi + 1) * head_dim]
+
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (TB,N,N) fp32
+
+        pb = p.astype(v.dtype)
+        # dV = P^T dO
+        dv = jax.lax.dot_general(
+            pb, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+        # dP = dO V^T
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+        # dS = P o (dP - rowsum(dP o P)), then scale
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(q.dtype)
+        # dQ = dS K ; dK = dS^T Q
+        dq = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+
+        dqkv_ref[:, :, hi * head_dim : (hi + 1) * head_dim] = dq.astype(
+            dqkv_ref.dtype)
+        dqkv_ref[:, :, C + hi * head_dim : C + (hi + 1) * head_dim] = dk.astype(
+            dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * C + hi * head_dim : 2 * C + (hi + 1) * head_dim] = (
+            dv.astype(dqkv_ref.dtype))
+
+
+@partial(jax.jit, static_argnames=("num_heads", "scale", "interpret", "tb"))
+def _fused_attention_qkv_bwd(qkv, dout, num_heads, scale, interpret=None,
+                             tb=None):
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    d = C // num_heads
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if tb is None:
+        tb = max(_tile_rows(B, N) // 2, 1)  # backward holds more live fp32
+        while B % tb:
+            tb -= 1
+
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    in_spec = pl.BlockSpec((tb, N, C3), lambda i: (i, 0, 0), memory_space=mem)
+    do_spec = pl.BlockSpec((tb, N, C), lambda i: (i, 0, 0), memory_space=mem)
+    return pl.pallas_call(
+        partial(_attn_bwd_kernel, scale=scale, num_heads=num_heads,
+                head_dim=d, f32_prec=(qkv.dtype == jnp.float32)),
+        out_shape=jax.ShapeDtypeStruct((B, N, C3), qkv.dtype),
+        grid=(B // tb,),
+        in_specs=[in_spec, do_spec],
+        out_specs=in_spec,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(qkv, dout)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fused_attention_qkv_ad(qkv, num_heads, scale):
+    """Differentiable fused attention (custom VJP; softmax recomputed in the
+    backward kernel, flash-style) — lets TRAINING use the Pallas path."""
+    return fused_attention_qkv(qkv, num_heads, scale)
+
+
+def _ad_fwd(qkv, num_heads, scale):
+    return fused_attention_qkv(qkv, num_heads, scale), qkv
+
+
+def _ad_bwd(num_heads, scale, qkv, dout):
+    return (_fused_attention_qkv_bwd(qkv, dout, num_heads, scale),)
+
+
+fused_attention_qkv_ad.defvjp(_ad_fwd, _ad_bwd)
+
+
 def fused_attention(q, k, v, scale, interpret=None):
     """(B, N, h, d) convenience wrapper (free reshapes to packed layout)."""
     B, N, h, d = q.shape

@@ -97,3 +97,51 @@ def test_fused_block_parity(rng):
     x3 = x2 + m @ w["fc2_kernel"] + w["fc2_bias"]
     expected = ln(x3, w["lns_scale"], w["lns_bias"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=5e-5)
+
+
+def test_fused_attention_grad_parity(rng):
+    """custom-VJP backward == autodiff through the XLA attention."""
+    from d3dp_tpu.ops.attention import fused_attention_qkv_ad
+
+    B, N, h, d = 6, 17, 8, 64
+    C = h * d
+    qkv = jnp.asarray(rng.randn(B, N, 3 * C) * 0.5, jnp.float32)
+    cot = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+    scale = d**-0.5
+
+    def xla_attn(qkv):
+        q5 = qkv.reshape(B, N, 3, h, d)
+        return ref_attn(q5[:, :, 0], q5[:, :, 1], q5[:, :, 2],
+                        scale).reshape(B, N, C)
+
+    def loss_p(qkv):
+        return jnp.sum(fused_attention_qkv_ad(qkv, h, scale) * cot)
+
+    def loss_x(qkv):
+        return jnp.sum(xla_attn(qkv) * cot)
+
+    g_p = jax.grad(loss_p)(qkv)
+    g_x = jax.grad(loss_x)(qkv)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=3e-4)
+
+
+def test_model_grad_pallas_vs_xla(rng):
+    """Whole-model gradients agree between attention impls (fp32)."""
+    from d3dp_tpu.models import MixSTE2, MixSTEConfig
+
+    B, F, J = 2, 9, 17
+    x2d = jnp.asarray(rng.randn(B, F, J, 2), jnp.float32)
+    x3d = jnp.asarray(rng.randn(B, F, J, 3), jnp.float32)
+    t = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
+    mk = lambda impl: MixSTE2(MixSTEConfig(
+        num_frames=F, embed_dim=64, depth=2, attention_impl=impl))
+    params = mk("xla").init(jax.random.PRNGKey(0), x2d, x3d, t)
+
+    def loss(impl, p):
+        return jnp.mean(jnp.square(mk(impl).apply(p, x2d, x3d, t)))
+
+    g_x = jax.grad(lambda p: loss("xla", p))(params)
+    g_p = jax.grad(lambda p: loss("pallas", p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                    jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
