@@ -131,7 +131,10 @@ def prepare_h36m(args):
 
 
 def prepare_synthetic(args):
-    """Self-consistent synthetic stand-in with the same interfaces."""
+    """Self-consistent synthetic stand-in with the same interfaces.
+
+    `-k structured` switches to skeleton-consistent poses (learnable depth);
+    the default is unstructured smooth noise."""
     from d3dp_tpu.data.h36m import h36m_skeleton, H36M_JOINTS_REMOVED
 
     skeleton = h36m_skeleton()
@@ -157,7 +160,8 @@ def prepare_synthetic(args):
         cameras[subject] = [cam_dict]
         for a in range(n_actions):
             T = frames // n_actions
-            p3, p2 = make_sequence(rng, T)
+            p3, p2 = make_sequence(
+                rng, T, structured=(args.keypoints == "structured"))
             action = f"Act{a} 1"
             keypoints[subject][action] = [p2]
             poses_3d[subject][action] = [p3]
