@@ -172,3 +172,33 @@ class TestParity:
             )
         )
         np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_sampler_flip_equivariance(rng):
+    """Swapping the TTA input pair and mirroring the injected noise must
+    mirror the samples exactly — a strong invariant of the fused flip-TTA
+    denoise + DDIM update wiring."""
+    from d3dp_tpu.diffusion import flip_pose, make_lr_perm
+
+    d3dp = D3DP(small_cfg())
+    params = d3dp.init_params(jax.random.PRNGKey(0))
+    perm = make_lr_perm(J, JL, JR)
+
+    x2d = rng.randn(B, F, J, 2).astype(np.float32)
+    x2d_flip = x2d.copy()
+    x2d_flip[..., 0] *= -1
+    x2d_flip[:, :, JL + JR] = x2d_flip[:, :, JR + JL]
+
+    z0 = rng.randn(B, H, F, J, 3).astype(np.float32)
+    zs = rng.randn(K, B, H, F, J, 3).astype(np.float32)
+
+    def mirror(a):
+        return np.asarray(flip_pose(jnp.asarray(a), jnp.asarray(perm)))
+
+    out1 = np.asarray(d3dp.sample(
+        params, jax.random.PRNGKey(1), jnp.asarray(x2d), jnp.asarray(x2d_flip),
+        noise_override=(z0, zs)))
+    out2 = np.asarray(d3dp.sample(
+        params, jax.random.PRNGKey(2), jnp.asarray(x2d_flip), jnp.asarray(x2d),
+        noise_override=(mirror(z0), np.stack([mirror(z) for z in zs]))))
+    np.testing.assert_allclose(out2, mirror(out1), atol=2e-5)
