@@ -13,6 +13,43 @@ shape changes, so the TPU train step wants every batch the same shape.
 import numpy as np
 
 
+def chunk_schedule(seq_lengths, chunk_length, augment):
+    """Build the epoch chunk table: one (seq_idx, start, end, flip) row per
+    training window, as an (N, 4) int64 array.
+
+    Each sequence of T frames is tiled by ceil(T / chunk_length) windows.
+    Their combined span overshoots T; half the overshoot (floor) is shifted
+    before frame 0 so the tiling is centred on the sequence (out-of-range
+    frames are edge-padded at extraction time). With `augment`, every
+    sequence contributes its full window set twice — flip=0 rows first,
+    then the same windows with flip=1 — matching the reference's epoch
+    population (common/generators.py:41-49) so the shuffled order is
+    reproducible from the same RandomState.
+    """
+    per_seq = []
+    for seq_idx, n_frames in enumerate(seq_lengths):
+        n_windows = -(-n_frames // chunk_length)  # ceil
+        lead = (n_windows * chunk_length - n_frames) // 2
+        starts = np.arange(n_windows, dtype=np.int64) * chunk_length - lead
+        rows = np.stack(
+            [
+                np.full(n_windows, seq_idx, np.int64),
+                starts,
+                starts + chunk_length,
+                np.zeros(n_windows, np.int64),
+            ],
+            axis=1,
+        )
+        per_seq.append(rows)
+        if augment:
+            mirrored = rows.copy()
+            mirrored[:, 3] = 1
+            per_seq.append(mirrored)
+    if not per_seq:
+        return np.zeros((0, 4), np.int64)
+    return np.concatenate(per_seq, axis=0)
+
+
 class ChunkedGenerator:
     """Training generator: shuffled fixed-length chunks with flip augment.
 
@@ -28,25 +65,15 @@ class ChunkedGenerator:
         assert poses_3d is None or len(poses_3d) == len(poses_2d), (
             len(poses_3d), len(poses_2d))
         assert cameras is None or len(cameras) == len(poses_2d)
+        if poses_3d is not None:
+            for p2, p3 in zip(poses_2d, poses_3d):
+                assert p2.shape[0] == p3.shape[0], (p2.shape, p3.shape)
 
-        # chunk lineage: (seq_idx, start, end, flip) with centred offset
-        pairs = []
-        for i in range(len(poses_2d)):
-            assert poses_3d is None or poses_2d[i].shape[0] == poses_3d[i].shape[0]
-            n_chunks = (poses_2d[i].shape[0] + chunk_length - 1) // chunk_length
-            offset = (n_chunks * chunk_length - poses_2d[i].shape[0]) // 2
-            bounds = np.arange(n_chunks + 1) * chunk_length - offset
-            augment_vector = np.full(len(bounds - 1), False, dtype=bool)
-            pairs += zip(np.repeat(i, len(bounds - 1)), bounds[:-1], bounds[1:],
-                         augment_vector)
-            if augment:
-                pairs += zip(np.repeat(i, len(bounds - 1)), bounds[:-1],
-                             bounds[1:], ~augment_vector)
-
-        self.num_batches = (len(pairs) + batch_size - 1) // batch_size
+        self.chunks = chunk_schedule(
+            [p.shape[0] for p in poses_2d], chunk_length, augment)
+        self.num_batches = -(-len(self.chunks) // batch_size)
         self.batch_size = batch_size
         self.random = np.random.RandomState(random_seed)
-        self.pairs = pairs
         self.shuffle = shuffle
         self.pad = pad
         self.causal_shift = causal_shift
@@ -113,14 +140,15 @@ class ChunkedGenerator:
     def augment_enabled(self):
         return self.augment
 
-    def next_pairs(self):
-        if self.state is None:
-            if self.shuffle:
-                pairs = self.random.permutation(self.pairs)
-            else:
-                pairs = self.pairs
-            return 0, pairs
-        return self.state
+    def _epoch_order(self):
+        """(first_batch, chunk_table) for the epoch being (re)entered: a
+        fresh shuffle normally, or the saved mid-epoch position in endless
+        mode."""
+        if self.state is not None:
+            return self.state
+        if self.shuffle:
+            return 0, self.random.permutation(self.chunks)
+        return 0, self.chunks
 
     def _extract(self, seqs, seq_i, start, end):
         """Chunk [start, end) of seqs[seq_i] with edge padding."""
@@ -137,9 +165,9 @@ class ChunkedGenerator:
     def next_epoch(self):
         enabled = True
         while enabled:
-            start_idx, pairs = self.next_pairs()
+            start_idx, table = self._epoch_order()
             for b_i in range(start_idx, self.num_batches):
-                chunks = pairs[b_i * self.batch_size : (b_i + 1) * self.batch_size]
+                chunks = table[b_i * self.batch_size : (b_i + 1) * self.batch_size]
                 n = len(chunks)
                 bs = self.batch_size if self.pad_last else n
 
@@ -214,7 +242,7 @@ class ChunkedGenerator:
                         batch_cam[n:] = batch_cam[0]
 
                 if self.endless:
-                    self.state = (b_i + 1, pairs)
+                    self.state = (b_i + 1, table)
 
                 if self.pad_last:
                     yield batch_cam, batch_3d, batch_2d, weights

@@ -10,34 +10,48 @@ reporting; the jnp versions remain available for fully on-device pipelines.
 import numpy as np
 
 
+def _similarity_transform_np(src, dst):
+    """Least-squares similarity (scale, rotation, translation) mapping each
+    (J, 3) cloud in `src` onto the matching cloud in `dst` (Kabsch/Umeyama).
+
+    The rotation comes from the SVD of the cross-covariance of the centred,
+    unit-Frobenius-normalised clouds; an improper rotation (det = -1, i.e. a
+    reflection) is repaired by negating the weakest singular direction.
+    Floating-point op order deliberately matches the reference p_mpjpe
+    alignment (common/loss.py:148-186) so host P2 numbers stay bit-identical.
+
+    Returns (scale (M,1,1), rot (M,3,3), trans (M,1,3)); apply as
+    `scale * (src @ rot) + trans`.
+    """
+    src_centre = np.mean(src, axis=1, keepdims=True)
+    dst_centre = np.mean(dst, axis=1, keepdims=True)
+    src0 = src - src_centre
+    dst0 = dst - dst_centre
+    src_norm = np.sqrt(np.sum(src0**2, axis=(1, 2), keepdims=True))
+    dst_norm = np.sqrt(np.sum(dst0**2, axis=(1, 2), keepdims=True))
+
+    cov = (dst0 / dst_norm).transpose(0, 2, 1) @ (src0 / src_norm)
+    u, sing, vt = np.linalg.svd(cov)
+    v = vt.transpose(0, 2, 1)
+    ut = u.transpose(0, 2, 1)
+
+    # sign of det(v @ ut) tells whether the best orthogonal map reflects;
+    # flipping the last column of v (and the matching singular value, which
+    # feeds the scale) converts it to the best proper rotation
+    flip = np.sign(np.linalg.det(v @ ut))
+    v[:, :, -1] *= flip[:, None]
+    sing[:, -1] *= flip
+    rot = v @ ut
+
+    scale = np.sum(sing, axis=1)[:, None, None] * dst_norm / src_norm
+    trans = dst_centre - scale * (src_centre @ rot)
+    return scale, rot, trans
+
+
 def procrustes_align_np(predicted, target):
     """Batched similarity alignment; predicted/target: (M, J, 3) numpy."""
-    muX = np.mean(target, axis=1, keepdims=True)
-    muY = np.mean(predicted, axis=1, keepdims=True)
-
-    X0 = target - muX
-    Y0 = predicted - muY
-
-    normX = np.sqrt(np.sum(X0**2, axis=(1, 2), keepdims=True))
-    normY = np.sqrt(np.sum(Y0**2, axis=(1, 2), keepdims=True))
-
-    X0 = X0 / normX
-    Y0 = Y0 / normY
-
-    H = np.matmul(X0.transpose(0, 2, 1), Y0)
-    U, s, Vt = np.linalg.svd(H)
-    V = Vt.transpose(0, 2, 1)
-    R = np.matmul(V, U.transpose(0, 2, 1))
-
-    sign_detR = np.sign(np.expand_dims(np.linalg.det(R), axis=1))
-    V[:, :, -1] *= sign_detR
-    s[:, -1] *= sign_detR.flatten()
-    R = np.matmul(V, U.transpose(0, 2, 1))
-
-    tr = np.expand_dims(np.sum(s, axis=1, keepdims=True), axis=2)
-    a = tr * normX / normY
-    t = muX - a * np.matmul(muY, R)
-    return a * np.matmul(predicted, R) + t
+    scale, rot, trans = _similarity_transform_np(predicted, target)
+    return scale * (predicted @ rot) + trans
 
 
 def _norm(x, axis=-1):

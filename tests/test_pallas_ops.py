@@ -56,49 +56,6 @@ def test_model_pallas_vs_xla(rng):
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=1e-4)
 
 
-def test_fused_block_parity(rng):
-    """Experimental fused transformer block == composed flax block."""
-    from d3dp_tpu.ops.block import fused_block
-
-    C, h, B, N = 64, 8, 8, 17
-    w = {
-        "ln1_scale": jnp.asarray(1 + 0.1 * rng.randn(C), jnp.float32),
-        "ln1_bias": jnp.asarray(0.1 * rng.randn(C), jnp.float32),
-        "qkv_kernel": jnp.asarray(rng.randn(C, 3 * C) * 0.05, jnp.float32),
-        "qkv_bias": jnp.asarray(rng.randn(3 * C) * 0.01, jnp.float32),
-        "proj_kernel": jnp.asarray(rng.randn(C, C) * 0.05, jnp.float32),
-        "proj_bias": jnp.asarray(rng.randn(C) * 0.01, jnp.float32),
-        "ln2_scale": jnp.asarray(1 + 0.1 * rng.randn(C), jnp.float32),
-        "ln2_bias": jnp.asarray(0.1 * rng.randn(C), jnp.float32),
-        "fc1_kernel": jnp.asarray(rng.randn(C, 2 * C) * 0.05, jnp.float32),
-        "fc1_bias": jnp.asarray(rng.randn(2 * C) * 0.01, jnp.float32),
-        "fc2_kernel": jnp.asarray(rng.randn(2 * C, C) * 0.05, jnp.float32),
-        "fc2_bias": jnp.asarray(rng.randn(C) * 0.01, jnp.float32),
-        "lns_scale": jnp.asarray(1 + 0.1 * rng.randn(C), jnp.float32),
-        "lns_bias": jnp.asarray(0.1 * rng.randn(C), jnp.float32),
-    }
-    x = jnp.asarray(rng.randn(B, N, C), jnp.float32)
-    got = fused_block(x, w, h, (C // h) ** -0.5, interpret=True)
-
-    # reference composition with flax-equivalent math
-    def ln(x, s, b, eps=1e-6):
-        mu = x.mean(-1, keepdims=True)
-        var = ((x - mu) ** 2).mean(-1, keepdims=True)
-        return (x - mu) * jax.lax.rsqrt(var + eps) * s + b
-
-    hh = ln(x, w["ln1_scale"], w["ln1_bias"])
-    qkv = hh @ w["qkv_kernel"] + w["qkv_bias"]
-    qkv5 = qkv.reshape(B, N, 3, h, C // h)
-    attn = ref_attn(qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2],
-                    (C // h) ** -0.5).reshape(B, N, C)
-    x2 = x + attn @ w["proj_kernel"] + w["proj_bias"]
-    h2 = ln(x2, w["ln2_scale"], w["ln2_bias"])
-    m = jax.nn.gelu(h2 @ w["fc1_kernel"] + w["fc1_bias"], approximate=False)
-    x3 = x2 + m @ w["fc2_kernel"] + w["fc2_bias"]
-    expected = ln(x3, w["lns_scale"], w["lns_bias"])
-    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=5e-5)
-
-
 def test_fused_attention_grad_parity(rng):
     """custom-VJP backward == autodiff through the XLA attention."""
     from d3dp_tpu.ops.attention import fused_attention_qkv_ad
