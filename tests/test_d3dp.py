@@ -142,6 +142,60 @@ class TestParity:
         assert got.shape == expected.shape
         np.testing.assert_allclose(got, expected, atol=5e-4)
 
+    @pytest.mark.slow
+    def test_ddim_flagship_parity(self, rng):
+        """End-to-end DDIM parity at the FLAGSHIP config: 243 frames,
+        cs=512, dep=8, H=5 hypotheses, K=5 steps, flip TTA — the README's
+        quick-eval headline. Verifies the <=0.05 mm claim at full scale
+        (reference: common/diffusionpose.py:214-256), not extrapolated from
+        the small-dim test above."""
+        import torch
+
+        Bf, Hf, Kf, Ff = 1, 5, 5, 243
+        ref_mod = import_reference("common.diffusionpose")
+        torch.manual_seed(0)
+        ref_model = ref_mod.D3DP(
+            ref_args(number_of_frames=Ff, cs=512, dep=8),
+            JL, JR, is_train=False,
+            num_proposals=Hf, sampling_timesteps=Kf,
+        )
+        ref_model.eval()
+        ours = D3DP(D3DPConfig(
+            model=MixSTEConfig(num_frames=Ff, embed_dim=512, depth=8),
+            num_proposals=Hf, sampling_timesteps=Kf,
+            joints_left=tuple(JL), joints_right=tuple(JR),
+        ))
+        params = {"params": torch_mixste_to_flax(
+            ref_model.pose_estimator.state_dict(), depth=8)}
+
+        x2d = rng.randn(Bf, Ff, J, 2).astype(np.float32)
+        x2d_flip = x2d.copy()
+        x2d_flip[..., 0] *= -1
+        x2d_flip[:, :, JL + JR] = x2d_flip[:, :, JR + JL]
+
+        torch.manual_seed(123)
+        with torch.no_grad():
+            expected = ref_model(
+                torch.from_numpy(x2d), None,
+                input_2d_flip=torch.from_numpy(x2d_flip),
+            ).numpy()
+
+        torch.manual_seed(123)
+        img0 = torch.randn(Bf, Hf, Ff, J, 3).numpy()
+        noises = np.zeros((Kf, Bf, Hf, Ff, J, 3), np.float32)
+        for i in range(Kf - 1):
+            noises[i] = torch.randn(Bf, Hf, Ff, J, 3).numpy()
+
+        got = np.asarray(ours.sample(
+            params, jax.random.PRNGKey(0),
+            jnp.asarray(x2d), jnp.asarray(x2d_flip),
+            noise_override=(img0, noises),
+        ))
+        assert got.shape == expected.shape
+        delta_mm = np.abs(got - expected).max() * 1000.0  # metres -> mm
+        print(f"flagship DDIM max pose delta: {delta_mm:.5f} mm")
+        assert delta_mm <= 0.05, f"{delta_mm} mm"
+
     def test_train_forward_parity(self, rng):
         import torch
 
