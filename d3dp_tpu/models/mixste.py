@@ -57,6 +57,15 @@ class MixSTEConfig:
     param_dtype: Any = jnp.float32
     precision: Any = "highest"  # explicit: this JAX build defaults low
     attention_impl: str = "xla"  # "xla" | "pallas"
+    # pallas-path fusion level (each step measured faster in-graph on v5e):
+    #   0 = fused attention kernel only (r1 structure)
+    #   2 = + [attention+proj+residual+LN2] and [MLP+residual+shared-LN]
+    #       stage kernels
+    #   3 = + transpose-free flow (relayout rides the MLP kernel's output)
+    #   4 = + LN1/qkv folded into the attention-stage kernel (whole block
+    #       is two Pallas kernels; activations make 6 HBM passes per block)
+    # Ignored when attention_impl == "xla".
+    fuse_level: int = 4
 
 
 def sinusoidal_time_embedding(t, dim, dtype=jnp.float32):
@@ -86,6 +95,125 @@ class DropPath(nn.Module):
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, p=keep, shape=shape)
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class LNParams(nn.Module):
+    """LayerNorm parameter holder: same tree as nn.LayerNorm ({scale, bias})
+    but returns the raw vectors for fused Pallas kernels."""
+
+    dim: int
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,),
+                       self.param_dtype),
+            self.param("bias", nn.initializers.zeros, (self.dim,),
+                       self.param_dtype),
+        )
+
+
+class DenseParams(nn.Module):
+    """Dense parameter holder: same tree and init as nn.Dense ({kernel,
+    bias}) but returns the raw arrays for fused Pallas kernels."""
+
+    in_features: int
+    features: int
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.features), self.param_dtype),
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       self.param_dtype),
+        )
+
+
+def _ln_xla(x, scale, bias, eps, dtype):
+    """LayerNorm from raw param vectors via plain jnp (XLA fuses this into
+    neighbours; same math as nn.LayerNorm with fp32 statistics)."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = jnp.square(xf - mu).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+        dtype)
+
+
+class MlpParams(nn.Module):
+    """Parameter holder matching Mlp's tree (mlp/{fc1, fc2})."""
+
+    dim: int
+    hidden: int
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = DenseParams(self.dim, self.hidden, self.param_dtype,
+                             name="fc1")()
+        w2, b2 = DenseParams(self.hidden, self.dim, self.param_dtype,
+                             name="fc2")()
+        return w1, b1, w2, b2
+
+
+class FusedAttentionStage(nn.Module):
+    """The whole pre-LN attention stage via one Pallas kernel (LN1 + qkv +
+    attention + out-proj + residual + LN2). Parameter-tree compatible with
+    Attention (attn/{qkv, proj}); the caller owns the LN params."""
+
+    dim: int
+    num_heads: int
+    qk_scale: Optional[float]
+    dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, x, ln1, ln2):
+        from d3dp_tpu.ops.attention import attention_stage_p
+
+        C = self.dim
+        scale = self.qk_scale or (C // self.num_heads) ** -0.5
+        wq, bq = DenseParams(C, 3 * C, self.param_dtype, name="qkv")()
+        wp, bp = DenseParams(C, C, self.param_dtype, name="proj")()
+        return attention_stage_p(
+            x, wq.astype(self.dtype), bq, wp.astype(self.dtype), bp,
+            ln1[0], ln1[1], ln2[0], ln2[1], self.num_heads, scale, 1e-6)
+
+
+class FusedAttention(nn.Module):
+    """Attention via the fused Pallas block kernel (attention + out-proj +
+    gated residual + next LayerNorm in one VMEM pass). Parameter-tree
+    compatible with Attention (attn/{qkv, proj})."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool
+    qk_scale: Optional[float]
+    dtype: Any
+    param_dtype: Any
+    precision: Any
+
+    @nn.compact
+    def __call__(self, y1, res, ln_scale, ln_bias):
+        from d3dp_tpu.ops.attention import attention_block_p
+
+        C = self.dim
+        scale = self.qk_scale or (C // self.num_heads) ** -0.5
+        qkv = nn.Dense(
+            3 * C,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            precision=self.precision,
+            name="qkv",
+        )(y1)
+        w, b = DenseParams(C, C, self.param_dtype, name="proj")()
+        return attention_block_p(
+            qkv, res.astype(self.dtype), w.astype(self.dtype), b,
+            ln_scale, ln_bias, self.num_heads, scale, 1e-6)
 
 
 class Attention(nn.Module):
@@ -205,9 +333,20 @@ class Block(nn.Module):
     param_dtype: Any
     precision: Any
     attention_impl: str
+    fuse_level: int = 2
 
     @nn.compact
-    def __call__(self, x, deterministic: bool):
+    def __call__(self, x, deterministic: bool, out_ln=None, transpose_b=None):
+        """out_ln=(scale, bias): on the fused path the block also applies
+        the caller's post-block shared LayerNorm (MixSTE2's spatial/temporal
+        norm) inside the final fused add — the caller must then NOT re-apply
+        it. transpose_b=B0 (true batch): the block additionally emits its
+        output in the OTHER spatial/temporal layout, (B0*N, B//B0, C) — on
+        the fused path the relayout rides the MLP kernel's output DMA."""
+        if self.attention_impl == "pallas" and self.drop == 0.0 and \
+                self.attn_drop == 0.0 and out_ln is not None and \
+                (deterministic or self.drop_path == 0.0):
+            return self._fused(x, deterministic, out_ln, transpose_b)
         ln = lambda name: nn.LayerNorm(
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
@@ -235,7 +374,100 @@ class Block(nn.Module):
             name="mlp",
         )(ln("norm2")(x), deterministic)
         x = x + DropPath(self.drop_path, name="drop_path2")(mlp_out, deterministic)
+        if out_ln is not None:
+            # caller delegated its shared post-block norm (fused-path
+            # contract); apply it with plain XLA here
+            x = _ln_xla(x, out_ln[0], out_ln[1], 1e-6, self.dtype)
+        if transpose_b is not None:
+            B, N, C = x.shape
+            B0 = transpose_b
+            x = x.reshape(B0, B // B0, N, C).transpose(0, 2, 1, 3)
+            x = x.reshape(B0 * N, B // B0, C)
         return x
+
+    def _fused(self, x, deterministic, out_ln, transpose_b=None):
+        """Pallas fused-block path. Fusion wins only where the kernel scope
+        exceeds what XLA can fuse itself (measured in-graph on v5e —
+        standalone LN/add kernels and the spatial attention+proj fusion all
+        LOSE by breaking XLA's own producer/consumer fusion):
+
+          level >= 1: [fc1 + exact GELU + fc2 + residual + shared-LN] in one
+                      kernel (the MLP half of the block never leaves VMEM)
+          level >= 2: [attention + out-proj + residual + LN2] kernel too,
+                      on temporal stages (N >= 128) where it measures ahead
+
+        LN1 and the qkv projection stay XLA, which fuses them into the
+        surrounding matmuls. Engaged when dropout/DropPath are inactive
+        (always at eval; active DropPath routes through the composed path)."""
+        B, N, C = x.shape
+        x = x.astype(self.dtype)
+
+        if self.fuse_level >= 4 and self.qkv_bias:
+            s1, b1 = LNParams(C, self.param_dtype, name="norm1")()
+            s2, b2 = LNParams(C, self.param_dtype, name="norm2")()
+            x2, y2 = FusedAttentionStage(
+                dim=C,
+                num_heads=self.num_heads,
+                qk_scale=self.qk_scale,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="attn",
+            )(x, (s1, b1), (s2, b2))
+            return self._fused_mlp(x2, y2, out_ln, transpose_b, B, N, C)
+        y1 = nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="norm1",
+        )(x)
+        if self.fuse_level >= 2:
+            s2, b2 = LNParams(C, self.param_dtype, name="norm2")()
+            x2, y2 = FusedAttention(
+                dim=C,
+                num_heads=self.num_heads,
+                qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                precision=self.precision,
+                name="attn",
+            )(y1, x, s2, b2)
+        else:
+            attn_out = Attention(
+                dim=C,
+                num_heads=self.num_heads,
+                qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                attn_drop=0.0,
+                proj_drop=0.0,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                precision=self.precision,
+                impl="pallas",
+                name="attn",
+            )(y1, deterministic)
+            x2 = x + attn_out
+            s2, b2 = LNParams(C, self.param_dtype, name="norm2")()
+            y2 = _ln_xla(x2, s2, b2, 1e-6, self.dtype)
+
+        return self._fused_mlp(x2, y2, out_ln, transpose_b, B, N, C)
+
+    def _fused_mlp(self, x2, y2, out_ln, transpose_b, B, N, C):
+        out_s, out_b = out_ln
+        from d3dp_tpu.ops.mlp import mlp_block_p, mlp_block_t_p
+
+        w1, b1, w2, bb2 = MlpParams(C, int(C * self.mlp_ratio),
+                                    self.param_dtype, name="mlp")()
+        w1, w2 = w1.astype(self.dtype), w2.astype(self.dtype)
+        if transpose_b is not None:
+            B0 = transpose_b
+            D1 = B // B0
+            out = mlp_block_t_p(
+                y2.reshape(B0, D1, N, C), x2.reshape(B0, D1, N, C),
+                w1, b1, w2, bb2, out_s, out_b, 1e-6)
+            return out.reshape(B0 * N, D1, C)
+        out = mlp_block_p(
+            y2.reshape(B * N, C), x2.reshape(B * N, C),
+            w1, b1, w2, bb2, out_s, out_b, 1e-6)
+        return out.reshape(B, N, C)
 
 
 class MixSTE2(nn.Module):
@@ -320,17 +552,29 @@ class MixSTE2(nn.Module):
                 param_dtype=cfg.param_dtype,
                 precision=cfg.precision,
                 attention_impl=cfg.attention_impl,
+                fuse_level=cfg.fuse_level,
                 name=f"{kind}_{i}",
             )
 
-        spatial_norm = nn.LayerNorm(
-            epsilon=1e-6, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-            name="spatial_norm",
-        )
-        temporal_norm = nn.LayerNorm(
-            epsilon=1e-6, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-            name="temporal_norm",
-        )
+        # fused pallas path: post-block shared norms are applied INSIDE the
+        # blocks' final fused add+LN kernel, so declare raw params here
+        # (same tree as the nn.LayerNorm modules) and hand them down
+        fused = cfg.attention_impl == "pallas" and cfg.drop_rate == 0.0 \
+            and cfg.attn_drop_rate == 0.0 and cfg.fuse_level >= 1
+        if fused:
+            spatial_ln = LNParams(C, cfg.param_dtype, name="spatial_norm")()
+            temporal_ln = LNParams(C, cfg.param_dtype, name="temporal_norm")()
+            spatial_norm = temporal_norm = lambda y: y
+        else:
+            spatial_ln = temporal_ln = None
+            spatial_norm = nn.LayerNorm(
+                epsilon=1e-6, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                name="spatial_norm",
+            )
+            temporal_norm = nn.LayerNorm(
+                epsilon=1e-6, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                name="temporal_norm",
+            )
 
         def to_spatial(x4):  # (B,F,J,C) -> (B*F, J, C)
             return x4.reshape(B * F, J, C)
@@ -344,23 +588,44 @@ class MixSTE2(nn.Module):
         def from_temporal(xt):
             return xt.reshape(B, J, F, C).transpose(0, 2, 1, 3)
 
-        # depth 0: spatial block (+shared norm), then temporal pos-embed +
-        # temporal block (+shared norm)   (mixste.py:213-258)
-        xs = make_block("ste", 0)(to_spatial(x), deterministic)
-        x = from_spatial(spatial_norm(xs))
-
-        xt = to_temporal(x) + temporal_pos.astype(cfg.dtype)
-        if cfg.drop_rate > 0.0:
-            xt = nn.Dropout(rate=cfg.drop_rate, deterministic=deterministic)(xt)
-        xt = make_block("tte", 0)(xt, deterministic)
-        x = from_temporal(temporal_norm(xt))
-
-        # depths 1..depth-1 alternate spatial/temporal (mixste.py:260-276)
-        for i in range(1, cfg.depth):
-            xs = make_block("ste", i)(to_spatial(x), deterministic)
+        if fused and cfg.fuse_level >= 3:
+            # transpose-free flow: every block emits its output already in
+            # the next stage\'s layout (the relayout rides the fused MLP
+            # kernel\'s output DMA) — no standalone spatial<->temporal
+            # transposes anywhere in the network
+            h = make_block("ste", 0)(to_spatial(x), deterministic,
+                                     out_ln=spatial_ln, transpose_b=B)
+            h = h + temporal_pos.astype(cfg.dtype)  # (B*J, F, C) + (1, F, C)
+            h = make_block("tte", 0)(h, deterministic,
+                                     out_ln=temporal_ln, transpose_b=B)
+            for i in range(1, cfg.depth):
+                h = make_block("ste", i)(h, deterministic,
+                                         out_ln=spatial_ln, transpose_b=B)
+                h = make_block("tte", i)(h, deterministic,
+                                         out_ln=temporal_ln, transpose_b=B)
+            x = from_spatial(h)
+        else:
+            # depth 0: spatial block (+shared norm), then temporal pos-embed
+            # + temporal block (+shared norm)   (mixste.py:213-258)
+            xs = make_block("ste", 0)(to_spatial(x), deterministic,
+                                      out_ln=spatial_ln)
             x = from_spatial(spatial_norm(xs))
-            xt = make_block("tte", i)(to_temporal(x), deterministic)
+
+            xt = to_temporal(x) + temporal_pos.astype(cfg.dtype)
+            if cfg.drop_rate > 0.0:
+                xt = nn.Dropout(rate=cfg.drop_rate,
+                                deterministic=deterministic)(xt)
+            xt = make_block("tte", 0)(xt, deterministic, out_ln=temporal_ln)
             x = from_temporal(temporal_norm(xt))
+
+            # depths 1..depth-1 alternate spatial/temporal (mixste.py:260-276)
+            for i in range(1, cfg.depth):
+                xs = make_block("ste", i)(to_spatial(x), deterministic,
+                                          out_ln=spatial_ln)
+                x = from_spatial(spatial_norm(xs))
+                xt = make_block("tte", i)(to_temporal(x), deterministic,
+                                          out_ln=temporal_ln)
+                x = from_temporal(temporal_norm(xt))
 
         # the reference's head LN uses torch's default eps (1e-5), unlike the
         # 1e-6 block norms (mixste.py:207-210)

@@ -216,6 +216,331 @@ def _ad_bwd(num_heads, scale, qkv, dout):
 fused_attention_qkv_ad.defvjp(_ad_fwd, _ad_bwd)
 
 
+def _attn_block_kernel(qkv_ref, res_ref, w_ref, b_ref, lns_ref,
+                       lnb_ref, x2_ref, y2_ref, acc_ref, *, scale, num_heads,
+                       head_dim, eps, f32_prec):
+    """attention -> out-projection -> residual add -> LayerNorm, one VMEM
+    pass. Emits x2 = res + (attn@W + b) AND y2 = LN(x2) — the two tensors
+    every pre-LN block consumes next."""
+    C = num_heads * head_dim
+    prec = jax.lax.Precision.HIGHEST if f32_prec else None
+    for hi in range(num_heads):
+        q = qkv_ref[:, :, hi * head_dim : (hi + 1) * head_dim]
+        k = qkv_ref[:, :, C + hi * head_dim : C + (hi + 1) * head_dim]
+        v = qkv_ref[:, :, 2 * C + hi * head_dim : 2 * C + (hi + 1) * head_dim]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        a = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        o = jax.lax.dot_general(
+            a, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+        acc_ref[:, :, hi * head_dim : (hi + 1) * head_dim] = o.astype(
+            acc_ref.dtype)
+
+    # out-projection on the whole (TB, N, C) tile: one well-shaped MXU pass
+    proj = jax.lax.dot_general(
+        acc_ref[:], w_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    proj = proj + b_ref[:].astype(jnp.float32)
+    x2 = res_ref[:].astype(jnp.float32) + proj
+    x2_ref[:] = x2.astype(x2_ref.dtype)
+
+    mu = jnp.mean(x2, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x2 - mu), axis=-1, keepdims=True)
+    y2 = (x2 - mu) * jax.lax.rsqrt(var + eps)
+    y2 = y2 * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+    y2_ref[:] = y2.astype(y2_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_heads", "scale", "eps", "interpret",
+                                   "tb"))
+def _attention_block_fwd(qkv, res, w, b, ln_scale, ln_bias, num_heads,
+                         scale, eps, interpret=None, tb=None):
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    d = C // num_heads
+    if interpret is None:
+        interpret = _interpret_default()
+    if tb is None:
+        # temporal shapes (N >= 128) run the plain-attention tile; spatial
+        # tiles halve (the fused kernel holds a fp32 scratch + proj weights
+        # on top of the attention working set)
+        tb = _tile_rows(B, N) if N >= 128 else max(_tile_rows(B, N) // 2, 1)
+        while B % tb:
+            tb -= 1
+
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    qkv_spec = pl.BlockSpec((tb, N, C3), lambda i: (i, 0, 0), memory_space=mem)
+    row_spec = pl.BlockSpec((tb, N, C), lambda i: (i, 0, 0), memory_space=mem)
+    w_spec = pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=mem)
+    vec_spec = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=mem)
+
+    x2, y2 = pl.pallas_call(
+        partial(_attn_block_kernel, scale=scale, num_heads=num_heads,
+                head_dim=d, eps=eps,
+                f32_prec=(qkv.dtype == jnp.float32)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+            jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+        ),
+        grid=(B // tb,),
+        in_specs=[qkv_spec, row_spec, w_spec, vec_spec, vec_spec,
+                  vec_spec],
+        out_specs=(row_spec, row_spec),
+        scratch_shapes=[pltpu.VMEM((tb, N, C), qkv.dtype)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * N * N * C + 2 * B * N * C * C,
+            bytes_accessed=6 * B * N * C * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+    )(qkv, res, w, b.reshape(1, C), ln_scale.reshape(1, C),
+      ln_bias.reshape(1, C))
+    return x2, y2
+
+
+def _interpret_default():
+    return jax.devices()[0].platform != "tpu"
+
+
+def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
+                       ln1b_ref, ln2s_ref, ln2b_ref, x2_ref, y2_ref, acc_ref,
+                       *, scale, num_heads, head_dim, eps, f32_prec):
+    """The ENTIRE pre-LN attention stage in one VMEM pass:
+    LN1 -> qkv projection -> attention -> out-projection -> residual ->
+    LN2. Reads the residual stream once (3 activation passes of HBM traffic
+    instead of ~14 for the XLA composition)."""
+    C = num_heads * head_dim
+    prec = jax.lax.Precision.HIGHEST if f32_prec else None
+    TB, N = x_ref.shape[0], x_ref.shape[1]
+
+    x32 = x_ref[:].astype(jnp.float32).reshape(TB * N, C)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y1 = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    y1 = y1 * ln1s_ref[:].astype(jnp.float32) + ln1b_ref[:].astype(jnp.float32)
+
+    qkv = jax.lax.dot_general(
+        y1.astype(x_ref.dtype), wqkv_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    qkv = qkv.reshape(TB, N, 3 * C)
+
+    for hi in range(num_heads):
+        q = qkv[:, :, hi * head_dim : (hi + 1) * head_dim]
+        k = qkv[:, :, C + hi * head_dim : C + (hi + 1) * head_dim]
+        v = qkv[:, :, 2 * C + hi * head_dim : 2 * C + (hi + 1) * head_dim]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        a = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        o = jax.lax.dot_general(
+            a, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+        acc_ref[:, :, hi * head_dim : (hi + 1) * head_dim] = o.astype(
+            acc_ref.dtype)
+
+    proj = jax.lax.dot_general(
+        acc_ref[:], wp_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    x2 = x_ref[:].astype(jnp.float32) + proj + bp_ref[:].astype(jnp.float32)
+    x2_ref[:] = x2.astype(x2_ref.dtype)
+
+    mu2 = jnp.mean(x2, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(x2 - mu2), axis=-1, keepdims=True)
+    y2 = (x2 - mu2) * jax.lax.rsqrt(var2 + eps)
+    y2 = y2 * ln2s_ref[:].astype(jnp.float32) + ln2b_ref[:].astype(
+        jnp.float32)
+    y2_ref[:] = y2.astype(y2_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_heads", "scale", "eps", "interpret",
+                                   "tb"))
+def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
+                         num_heads, scale, eps, interpret=None, tb=None):
+    B, N, C = x.shape
+    d = C // num_heads
+    if interpret is None:
+        interpret = _interpret_default()
+    if tb is None:
+        tb = _tile_rows(B, N) if N >= 128 else max(_tile_rows(B, N) // 2, 1)
+        while B % tb:
+            tb -= 1
+
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    row_spec = pl.BlockSpec((tb, N, C), lambda i: (i, 0, 0), memory_space=mem)
+    wq_spec = pl.BlockSpec((C, 3 * C), lambda i: (0, 0), memory_space=mem)
+    wp_spec = pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=mem)
+    vc_spec = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=mem)
+    v3_spec = pl.BlockSpec((1, 3 * C), lambda i: (0, 0), memory_space=mem)
+
+    x2, y2 = pl.pallas_call(
+        partial(_attn_stage_kernel, scale=scale, num_heads=num_heads,
+                head_dim=d, eps=eps, f32_prec=(x.dtype == jnp.float32)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, C), x.dtype),
+            jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        ),
+        grid=(B // tb,),
+        in_specs=[row_spec, wq_spec, v3_spec, wp_spec, vc_spec, vc_spec,
+                  vc_spec, vc_spec, vc_spec],
+        out_specs=(row_spec, row_spec),
+        scratch_shapes=[pltpu.VMEM((tb, N, C), x.dtype)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * B * N * C * 3 * C + 2 * 2 * B * N * N * C
+                   + 2 * B * N * C * C),
+            bytes_accessed=3 * B * N * C * x.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+    )(x, wqkv, bqkv.reshape(1, 3 * C), wp, bp.reshape(1, C),
+      ln1_s.reshape(1, C), ln1_b.reshape(1, C), ln2_s.reshape(1, C),
+      ln2_b.reshape(1, C))
+    return x2, y2
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def attention_stage_p(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
+                      num_heads, scale, eps):
+    """Whole pre-LN attention stage, fused: (x2, y2) where
+    x2 = x + proj(attn(qkv(LN1(x)))) and y2 = LN2(x2)."""
+    return _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s,
+                                ln2_b, num_heads, scale, eps)
+
+
+def _attention_stage_p_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
+                           num_heads, scale, eps):
+    out = _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s,
+                               ln2_b, num_heads, scale, eps)
+    return out, (x, wqkv, bqkv, wp, ln1_s, ln1_b, ln2_s, out[0])
+
+
+def _attention_stage_p_bwd(num_heads, scale, eps, resids, grads):
+    """Backward: XLA recompute of LN1/qkv + the Pallas attention fwd/bwd
+    kernels for the attention core; weight grads are XLA batch reductions."""
+    x, wqkv, bqkv, wp, ln1_s, ln1_b, ln2_s, x2 = resids
+    gx2, gy2 = grads
+
+    from d3dp_tpu.ops.norm import _ln_bwd_rows
+
+    B, N, C = x.shape
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+
+    # recompute forward intermediates
+    x32 = x.astype(jnp.float32).reshape(B * N, C)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x32 - mu) * rstd
+    y1 = (xhat * ln1_s.astype(jnp.float32)
+          + ln1_b.astype(jnp.float32)).astype(x.dtype)
+    qkv = (y1 @ wqkv.astype(y1.dtype)).reshape(B, N, 3 * C)
+    qkv = qkv + bqkv.astype(qkv.dtype)
+    a = fused_attention_qkv(qkv, num_heads, scale)
+
+    # LN2 backward
+    ds, dln2_s, dln2_b = _ln_bwd_rows(
+        x2.reshape(B * N, C).astype(jnp.float32), ln2_s,
+        gy2.reshape(B * N, C), eps)
+    ds = ds.reshape(B, N, C)
+    if gx2 is not None:
+        ds = ds + gx2.astype(jnp.float32)
+
+    # x2 = x + a @ wp + bp
+    dwp = jnp.einsum("bnc,bnd->cd", a.astype(jnp.float32), ds,
+                     precision=prec).astype(wp.dtype)
+    dbp = jnp.sum(ds, axis=(0, 1)).astype(wp.dtype)
+    da = jnp.einsum("bnd,cd->bnc", ds, wp.astype(jnp.float32),
+                    precision=prec).astype(qkv.dtype)
+    dqkv = _fused_attention_qkv_bwd(qkv, da, num_heads, scale)
+
+    dqkv_f = dqkv.reshape(B * N, 3 * C).astype(jnp.float32)
+    dbqkv = jnp.sum(dqkv_f, axis=0).astype(wqkv.dtype)
+    dwqkv = jnp.einsum("rc,rk->ck", y1.astype(jnp.float32), dqkv_f,
+                       precision=prec).astype(wqkv.dtype)
+    dy1 = jnp.einsum("rk,ck->rc", dqkv_f, wqkv.astype(jnp.float32),
+                     precision=prec)
+
+    # LN1 backward (reuse stats)
+    gs1 = dy1 * ln1_s.astype(jnp.float32)
+    dx1 = rstd * (gs1 - jnp.mean(gs1, axis=-1, keepdims=True)
+                  - xhat * jnp.mean(gs1 * xhat, axis=-1, keepdims=True))
+    dln1_s = jnp.sum(dy1 * xhat, axis=0).astype(ln1_s.dtype)
+    dln1_b = jnp.sum(dy1, axis=0).astype(ln1_s.dtype)
+
+    dx = (ds + dx1.reshape(B, N, C)).astype(x.dtype)
+    return (dx, dwqkv, dbqkv, dwp, dbp, dln1_s, dln1_b,
+            dln2_s.astype(ln2_s.dtype), dln2_b.astype(ln2_s.dtype))
+
+
+attention_stage_p.defvjp(_attention_stage_p_fwd, _attention_stage_p_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def attention_block_p(qkv, res, w, b, ln_scale, ln_bias, num_heads,
+                      scale, eps):
+    """Fused attention + out-projection + residual + LayerNorm.
+
+    qkv: (B, N, 3C) fused projection; res: (B, N, C) residual stream;
+    w/b: out-projection weights (C, C)/(C,). Returns (x2, LN(x2)).
+    """
+    return _attention_block_fwd(qkv, res, w, b, ln_scale, ln_bias,
+                                num_heads, scale, eps)
+
+
+def _attention_block_p_fwd(qkv, res, w, b, ln_scale, ln_bias, num_heads,
+                           scale, eps):
+    out = _attention_block_fwd(qkv, res, w, b, ln_scale, ln_bias,
+                               num_heads, scale, eps)
+    return out, (qkv, res, w, ln_scale, out[0])
+
+
+def _attention_block_p_bwd(num_heads, scale, eps, resids, grads):
+    """Backward: recompute attention with the Pallas forward kernel, push
+    the projection/LN chain through XLA, and reuse the flash-style Pallas
+    attention backward for d(qkv). Weight grads are batch reductions, which
+    XLA already does at speed-of-light."""
+    qkv, res, w, ln_scale, x2 = resids
+    gx2, gy2 = grads
+
+    from d3dp_tpu.ops.norm import _ln_bwd_rows
+
+    B, N, C = x2.shape
+    ds, dln_scale, dln_bias = _ln_bwd_rows(
+        x2.reshape(B * N, C).astype(jnp.float32), ln_scale,
+        gy2.reshape(B * N, C), eps)
+    ds = ds.reshape(B, N, C)
+    if gx2 is not None:
+        ds = ds + gx2.astype(jnp.float32)
+
+    # out = res + (a @ w + b)
+    dres = ds.astype(res.dtype)
+    a = fused_attention_qkv(qkv, num_heads, scale)  # recompute (pallas fwd)
+    prec = (jax.lax.Precision.HIGHEST if qkv.dtype == jnp.float32 else None)
+    dw = jnp.einsum("bnc,bnd->cd", a.astype(jnp.float32), ds,
+                    precision=prec).astype(w.dtype)
+    db = jnp.sum(ds, axis=(0, 1)).astype(w.dtype)
+    da = jnp.einsum("bnd,cd->bnc", ds, w.astype(jnp.float32),
+                    precision=prec).astype(qkv.dtype)
+    dqkv = _fused_attention_qkv_bwd(qkv, da, num_heads, scale)
+    return (dqkv, dres, dw, db, dln_scale.astype(ln_scale.dtype),
+            dln_bias.astype(ln_scale.dtype))
+
+
+attention_block_p.defvjp(_attention_block_p_fwd, _attention_block_p_bwd)
+
+
 def fused_attention(q, k, v, scale, interpret=None):
     """(B, N, h, d) convenience wrapper (free reshapes to packed layout)."""
     B, N, h, d = q.shape

@@ -1,0 +1,240 @@
+"""Pallas fused MLP-block kernel: fc1 -> exact-erf GELU -> fc2 -> residual
+add -> LayerNorm, one VMEM pass per row tile.
+
+This is the second half of a MixSTE block (models/mixste.py Block._fused).
+The op is tokenwise, so tiles are plain (TR, C) row blocks — each tile does
+two well-shaped MXU matmuls ((TR,C)@(C,H) and (TR,H)@(H,C)) with the hidden
+activation, the GELU, the residual add and the (shared) LayerNorm all kept
+in VMEM. The XLA composition round-trips the hidden (2C-wide) activation
+and the residual/norm through HBM (~12 activation passes per block vs 3
+here).
+
+Differentiable via custom VJP (XLA-composed backward that recomputes the
+hidden activation — the op is bandwidth-bound, not FLOP-bound).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf32(x):
+    """erf to 1.5e-7 abs error (Abramowitz-Stegun 7.1.26) — Mosaic has no
+    erf primitive; this is ~100x below bf16 resolution and below every fp32
+    parity tolerance in the suite."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_exact(x32, exact_erf=False):
+    # torch nn.GELU default (erf form) — parity with the reference
+    erf = jax.lax.erf if exact_erf else _erf32
+    return 0.5 * x32 * (1.0 + erf(x32 * (2.0**-0.5)))
+
+
+def _mlp_block_kernel(x_ref, res_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                      lns_ref, lnb_ref, o_ref, *, eps, f32_prec):
+    prec = jax.lax.Precision.HIGHEST if f32_prec else None
+    h = jax.lax.dot_general(
+        x_ref[:], w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    h = _gelu_exact(h + b1_ref[:].astype(jnp.float32))
+    out = jax.lax.dot_general(
+        h.astype(x_ref.dtype), w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    s = res_ref[:].astype(jnp.float32) + out + b2_ref[:].astype(jnp.float32)
+
+    mu = jnp.mean(s, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(s - mu), axis=-1, keepdims=True)
+    y = (s - mu) * jax.lax.rsqrt(var + eps)
+    y = y * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("eps", "interpret", "tr"))
+def _mlp_block_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
+                   interpret=None, tr=None):
+    R, C = x.shape
+    H = w1.shape[1]
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if tr is None:
+        tr = min(R, 512)
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    row_spec = pl.BlockSpec((tr, C), lambda i: (i, 0), memory_space=mem)
+    w1_spec = pl.BlockSpec((C, H), lambda i: (0, 0), memory_space=mem)
+    w2_spec = pl.BlockSpec((H, C), lambda i: (0, 0), memory_space=mem)
+    vc_spec = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=mem)
+    vh_spec = pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=mem)
+    return pl.pallas_call(
+        partial(_mlp_block_kernel, eps=eps,
+                f32_prec=(x.dtype == jnp.float32)),
+        out_shape=jax.ShapeDtypeStruct((R, C), x.dtype),
+        grid=(pl.cdiv(R, tr),),
+        in_specs=[row_spec, row_spec, w1_spec, vh_spec, w2_spec, vc_spec,
+                  vc_spec, vc_spec],
+        out_specs=row_spec,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * R * C * H,
+            bytes_accessed=3 * R * C * x.dtype.itemsize,
+            transcendentals=R * H,
+        ),
+    )(x, res, w1, b1.reshape(1, H), w2, b2.reshape(1, C),
+      ln_scale.reshape(1, C), ln_bias.reshape(1, C))
+
+
+def _mlp_block_t_kernel(x_ref, res_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        lns_ref, lnb_ref, o_ref, *, eps, f32_prec):
+    """Transposing variant: identical math on a (1, D1, D2, C) tile, but the
+    output tile is (1, D2, D1, C) — the swap happens in VMEM so the layout
+    change rides the kernel's output DMA instead of a standalone XLA
+    transpose over the full activation set."""
+    prec = jax.lax.Precision.HIGHEST if f32_prec else None
+    x = x_ref[0]
+    h = jax.lax.dot_general(
+        x, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    h = _gelu_exact(h + b1_ref[:].astype(jnp.float32))
+    out = jax.lax.dot_general(
+        h.astype(x.dtype), w2_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    s = res_ref[0].astype(jnp.float32) + out + b2_ref[:].astype(jnp.float32)
+
+    mu = jnp.mean(s, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(s - mu), axis=-1, keepdims=True)
+    y = (s - mu) * jax.lax.rsqrt(var + eps)
+    y = y * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+    o_ref[0] = jnp.swapaxes(y, 0, 1).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("eps", "interpret", "tile"))
+def _mlp_block_t_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
+                     interpret=None, tile=None):
+    """x/res: (B, D1, D2, C) -> out (B, D2, D1, C). Tiles the larger of
+    D1/D2 (the frame axis); the 17-joint axis always rides whole."""
+    B, D1, D2, C = x.shape
+    H = w1.shape[1]
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    tile_first = D1 >= D2
+    if tile is None:
+        # ~512 tokens per tile, multiple of 8 (output-block sublane rule);
+        # 32 measured best in-graph on v5e at the flagship shapes
+        tile = max(8, min(32, (512 // (D2 if tile_first else D1)) // 8 * 8))
+        tile = min(tile, D1 if tile_first else D2)
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+
+    if tile_first:
+        grid = (B, pl.cdiv(D1, tile))
+        in_spec = pl.BlockSpec((1, tile, D2, C), lambda b, t: (b, t, 0, 0),
+                               memory_space=mem)
+        out_spec = pl.BlockSpec((1, D2, tile, C), lambda b, t: (b, 0, t, 0),
+                                memory_space=mem)
+    else:
+        grid = (B, pl.cdiv(D2, tile))
+        in_spec = pl.BlockSpec((1, D1, tile, C), lambda b, t: (b, 0, t, 0),
+                               memory_space=mem)
+        out_spec = pl.BlockSpec((1, tile, D1, C), lambda b, t: (b, t, 0, 0),
+                                memory_space=mem)
+    w1_spec = pl.BlockSpec((C, H), lambda b, t: (0, 0), memory_space=mem)
+    w2_spec = pl.BlockSpec((H, C), lambda b, t: (0, 0), memory_space=mem)
+    vc_spec = pl.BlockSpec((1, C), lambda b, t: (0, 0), memory_space=mem)
+    vh_spec = pl.BlockSpec((1, H), lambda b, t: (0, 0), memory_space=mem)
+    return pl.pallas_call(
+        partial(_mlp_block_t_kernel, eps=eps,
+                f32_prec=(x.dtype == jnp.float32)),
+        out_shape=jax.ShapeDtypeStruct((B, D2, D1, C), x.dtype),
+        grid=grid,
+        in_specs=[in_spec, in_spec, w1_spec, vh_spec, w2_spec, vc_spec,
+                  vc_spec, vc_spec],
+        out_specs=out_spec,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * D1 * D2 * C * H,
+            bytes_accessed=3 * B * D1 * D2 * C * x.dtype.itemsize,
+            transcendentals=B * D1 * D2 * H,
+        ),
+    )(x, res, w1, b1.reshape(1, H), w2, b2.reshape(1, C),
+      ln_scale.reshape(1, C), ln_bias.reshape(1, C))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8,))
+def mlp_block_t_p(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps):
+    """Transposing fused MLP block: y = LN(res + fc2(gelu(fc1(x)))) with the
+    output relayouted (B, D1, D2, C) -> (B, D2, D1, C) inside the kernel —
+    the spatial<->temporal transpose of MixSTE costs no standalone pass."""
+    return _mlp_block_t_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps)
+
+
+def _mlp_block_t_p_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps):
+    out = _mlp_block_t_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps)
+    return out, (x, res, w1, b1, w2, b2, ln_scale)
+
+
+def _mlp_block_t_p_bwd(eps, resids, gy):
+    x, res, w1, b1, w2, b2, ln_scale = resids
+    B, D1, D2, C = x.shape
+    gy_flat = jnp.swapaxes(gy, 1, 2).reshape(B * D1 * D2, C)
+    grads = _mlp_block_p_bwd(
+        eps, (x.reshape(B * D1 * D2, C), res.reshape(B * D1 * D2, C),
+              w1, b1, w2, b2, ln_scale), gy_flat)
+    dx, dres = grads[0].reshape(x.shape), grads[1].reshape(res.shape)
+    return (dx, dres) + grads[2:]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8,))
+def mlp_block_p(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps):
+    """y = LN(res + fc2(gelu(fc1(x)))). x/res: (R, C); returns (R, C)."""
+    return _mlp_block_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps)
+
+
+def _mlp_block_p_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps):
+    out = _mlp_block_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps)
+    return out, (x, res, w1, b1, w2, b2, ln_scale)
+
+
+def _mlp_block_p_bwd(eps, resids, gy):
+    from d3dp_tpu.ops.norm import _ln_bwd_rows
+
+    x, res, w1, b1, w2, b2, ln_scale = resids
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    x32 = x.astype(jnp.float32)
+    pre = x32 @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
+    h = _gelu_exact(pre, exact_erf=True)
+    hb = h.astype(x.dtype)
+    s32 = (res.astype(jnp.float32) + hb.astype(jnp.float32) @
+           w2.astype(jnp.float32) + b2.astype(jnp.float32))
+
+    ds, dln_scale, dln_bias = _ln_bwd_rows(s32, ln_scale, gy, eps)
+    dres = ds.astype(res.dtype)
+    dw2 = jnp.einsum("rh,rc->hc", hb.astype(jnp.float32), ds,
+                     precision=prec).astype(w2.dtype)
+    db2 = jnp.sum(ds, axis=0).astype(b2.dtype)
+    dh = jnp.einsum("rc,hc->rh", ds, w2.astype(jnp.float32), precision=prec)
+    # d gelu(p) = 0.5*(1+erf(p/sqrt2)) + p * pdf(p)
+    dpre = dh * (0.5 * (1.0 + jax.lax.erf(pre * (2.0**-0.5)))
+                 + pre * jnp.exp(-0.5 * pre * pre) * (2.0 * jnp.pi) ** -0.5)
+    dw1 = jnp.einsum("rc,rh->ch", x32, dpre, precision=prec).astype(w1.dtype)
+    db1 = jnp.sum(dpre, axis=0).astype(b1.dtype)
+    dx = jnp.einsum("rh,ch->rc", dpre, w1.astype(jnp.float32),
+                    precision=prec).astype(x.dtype)
+    return (dx, dres, dw1, db1, dw2, db2, dln_scale.astype(ln_scale.dtype),
+            dln_bias.astype(ln_scale.dtype))
+
+
+mlp_block_p.defvjp(_mlp_block_p_fwd, _mlp_block_p_bwd)
+mlp_block_t_p.defvjp(_mlp_block_t_p_fwd, _mlp_block_t_p_bwd)

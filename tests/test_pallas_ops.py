@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from d3dp_tpu.ops.attention import fused_attention, fused_attention_qkv
+from d3dp_tpu.models.mixste import MixSTE2, MixSTEConfig
 
 
 def ref_attn(q, k, v, scale):
@@ -102,3 +103,21 @@ def test_model_grad_pallas_vs_xla(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g_x),
                     jax.tree_util.tree_leaves(g_p)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+
+
+@pytest.mark.parametrize("lvl", [0, 2, 3, 4])
+def test_fuse_levels_agree(rng, lvl):
+    """Every wired fusion level computes the same forward (fp32, vs the XLA
+    reference path). Levels: 0=attention kernel only, 2=stage kernels,
+    3=+transpose-free flow, 4=+LN1/qkv folded into the attention stage."""
+    B, F, J = 3, 9, 17
+    x2d = jnp.asarray(rng.randn(B, F, J, 2), jnp.float32)
+    x3d = jnp.asarray(rng.randn(B, F, J, 3), jnp.float32)
+    t = jnp.asarray(rng.randint(0, 1000, (B,)), jnp.int32)
+    mk = lambda impl, lv: MixSTE2(MixSTEConfig(
+        num_frames=F, embed_dim=64, depth=2, attention_impl=impl,
+        fuse_level=lv))
+    params = mk("xla", 0).init(jax.random.PRNGKey(0), x2d, x3d, t)
+    expected = np.asarray(mk("xla", 0).apply(params, x2d, x3d, t))
+    got = np.asarray(mk("pallas", lvl).apply(params, x2d, x3d, t))
+    np.testing.assert_allclose(got, expected, atol=1e-4)
