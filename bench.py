@@ -21,17 +21,36 @@ at 35% util of 19.5 fp32 TFLOP/s -> ~8.2 s/call -> ~3000 hyp-frames/s.
 REFERENCE_HF_PER_SEC below freezes that estimate.
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
-REFERENCE_HF_PER_SEC = 3000.0
+REFERENCE_HF_PER_SEC = 3000.0  # analytic estimate, NOT a measurement —
+# derivation in the module docstring; `baseline_basis` in the JSON labels it
 
 B, H, K, F, J = 4, 5, 5, 243, 17
 
 
-def main():
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ddim-reuse", type=int, default=0,
+                   help="measure with DDIM feature reuse at this refresh "
+                        "interval (0 = off, the canonical driver number)")
+    p.add_argument("--ddim-reuse-tap", type=int, default=2)
+    p.add_argument("--dp", type=int, default=0,
+                   help="scaling mode: shard the sampler over a dp-way mesh "
+                        "of N VIRTUAL CPU devices and report relative "
+                        "scaling (correctness/compile evidence, not absolute "
+                        "TPU throughput)")
+    return p.parse_args()
+
+
+def main(opts=None):
+    opts = opts or parse_args()
+    if opts.dp:
+        return scaling_mode(opts.dp)
     import jax
     import jax.numpy as jnp
     from d3dp_tpu.diffusion import D3DP, D3DPConfig
@@ -39,6 +58,7 @@ def main():
 
     dev = jax.devices()[0]
 
+    reuse = max(opts.ddim_reuse, 1)
     d3dp = D3DP(
         D3DPConfig(
             model=MixSTEConfig(
@@ -50,6 +70,8 @@ def main():
             ),
             num_proposals=H,
             sampling_timesteps=K,
+            reuse_interval=reuse,
+            reuse_tap=opts.ddim_reuse_tap,
         )
     )
     params = d3dp.init_params(jax.random.PRNGKey(0))
@@ -109,14 +131,84 @@ def main():
                 "unit": "hyp*frames/s",
                 "vs_baseline": round(hf_per_sec / REFERENCE_HF_PER_SEC, 2),
                 "detail": {
-                    "config": f"B={B} H={H} K={K} F={F} flip_tta=on bf16",
+                    "config": f"B={B} H={H} K={K} F={F} flip_tta=on bf16"
+                              + (f" reuse={reuse}/tap={opts.ddim_reuse_tap}"
+                                 if reuse > 1 else ""),
                     "seconds_per_call": round(elapsed, 4),
                     "train_frames_per_sec": round(train_frames_per_sec, 1),
                     "device": str(dev),
+                    "baseline_basis": "analytic estimate of the PyTorch "
+                        "reference on A100 (fp32, 35% util => ~3000 "
+                        "hyp*frames/s; derivation in bench.py docstring; "
+                        "no published speed numbers exist to measure "
+                        "against)",
                 },
             }
         )
     )
+
+
+def scaling_mode(n_devices):
+    """--dp N: shard the sampler over an N-way virtual CPU mesh and print
+    per-device-count timings at a reduced model size. Evidence that the
+    sharded program compiles and executes at every dp and that per-device
+    work is constant (weak scaling) — NOT absolute TPU throughput: the
+    virtual devices all share the host's cores, so wall-clock flattens at
+    the host's own parallelism. Real-pod numbers: scripts/bench_pod.py."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n_devices)
+    import jax.numpy as jnp
+    from d3dp_tpu.diffusion import D3DP, D3DPConfig
+    from d3dp_tpu.models import MixSTEConfig
+    from d3dp_tpu.parallel import make_mesh, batch_sharding
+
+    f, h, k = 27, 2, 2  # reduced dims: CPU-feasible, same program structure
+    d3dp = D3DP(
+        D3DPConfig(
+            model=MixSTEConfig(num_frames=f, embed_dim=128, depth=2),
+            num_proposals=h,
+            sampling_timesteps=k,
+        )
+    )
+    params = d3dp.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+
+    results = {}
+    for dp in sorted({1, max(n_devices // 2, 1), n_devices}):
+        mesh = make_mesh(dp=dp, tp=1, devices=jax.devices()[:dp])
+        bs = batch_sharding(mesh)
+        b = 4 * dp  # fixed per-device work: 4 windows each (weak scaling)
+        x2d = jax.device_put(
+            jnp.asarray(rng.randn(b, f, J, 2) * 0.3, jnp.float32), bs)
+        x2d_f = jax.device_put(
+            jnp.asarray(rng.randn(b, f, J, 2) * 0.3, jnp.float32), bs)
+        sample = jax.jit(lambda p, key: d3dp.sample(p, key, x2d, x2d_f))
+        sample(params, jax.random.PRNGKey(1)).block_until_ready()
+        n_iter = 5
+        start = time.perf_counter()
+        for i in range(n_iter):
+            out = sample(params, jax.random.PRNGKey(2 + i))
+        out.block_until_ready()
+        dt = (time.perf_counter() - start) / n_iter
+        results[dp] = round(b * h * f * k / dt, 1)
+
+    base = results[1]
+    dpmax = max(results)
+    print(json.dumps({
+        "metric": "virtual_mesh_dp_scaling",
+        "value": round(results[dpmax] / base, 3),
+        "unit": "total-throughput retention dp=1->max (virtual devices "
+                "share the host's cores, so flat total = zero sharding "
+                "overhead; real chips would scale the total linearly)",
+        "vs_baseline": 1.0,
+        "detail": {"hyp_frames_per_sec_by_dp": results,
+                   "note": "virtual CPU mesh sharing host cores; proves the "
+                           "dp-sharded sampler compiles/executes at each dp "
+                           "with constant per-device batch; real-pod "
+                           "script: scripts/bench_pod.py"},
+    }))
 
 
 if __name__ == "__main__":

@@ -123,6 +123,16 @@ def build_parser(in_the_wild=False):
                              "'pallas' explicitly to use it for training "
                              "too (with --dtype bfloat16: ~4.3x step "
                              "throughput).")
+    parser.add_argument("--ddim-reuse", type=int, default=0, metavar="N",
+                        help="DDIM feature reuse (FRDiff-style): refresh the "
+                             "deep transformer blocks every N sampling steps "
+                             "and reuse their cached contribution in between "
+                             "(0/1 = off, exact reference semantics). "
+                             "Approximate: trades accuracy for sampling "
+                             "throughput; eval only.")
+    parser.add_argument("--ddim-reuse-tap", type=int, default=2, metavar="D",
+                        help="with --ddim-reuse: number of shallow block "
+                             "pairs computed fresh on reuse steps (1..dep)")
     parser.add_argument("--platform", default="",
                         help="force a JAX platform (e.g. cpu); empty = default")
     parser.add_argument("--num-virtual-devices", type=int, default=0,

@@ -50,6 +50,8 @@ def _build_models(args):
     d3dp_eval = D3DP(D3DPConfig(model=mk_model(0.0, attn),
                                 num_proposals=args.num_proposals,
                                 sampling_timesteps=args.sampling_timesteps,
+                                reuse_interval=max(args.ddim_reuse, 1),
+                                reuse_tap=min(args.ddim_reuse_tap, args.dep),
                                 **common))
     return d3dp_train, d3dp_valid, d3dp_eval
 

@@ -485,10 +485,31 @@ class MixSTE2(nn.Module):
     cfg: MixSTEConfig
 
     @nn.compact
-    def __call__(self, x2d, x3d, t, deterministic: bool = True):
+    def __call__(self, x2d, x3d, t, deterministic: bool = True,
+                 reuse_tap: Optional[int] = None, deep_delta=None):
+        """reuse_tap / deep_delta implement DDIM feature reuse
+        (FRDiff-style, arXiv:2312.03517; see diffusion/d3dp.py):
+
+          * reuse_tap=d, deep_delta=None ("full" step): run every block and
+            ADDITIONALLY return the deep residual-stream delta — the
+            (B,F,J,C) activation after the last block pair minus the
+            activation after pair d-1 — so returns (out, delta).
+          * reuse_tap=d, deep_delta=<delta> ("reuse" step): run only block
+            pairs 0..d-1 fresh, approximate the final stream as
+            tap_stream + deep_delta (the deep blocks' cached contribution),
+            and run the head; returns out.
+
+        Tap points sit at block-pair boundaries in the canonical (B,F,J,C)
+        layout, after the shared spatial/temporal norms — identical across
+        the XLA and fused-Pallas paths. Eval-only (deterministic)."""
         cfg = self.cfg
         B, F, J, _ = x3d.shape
         C = cfg.embed_dim
+        if reuse_tap is not None:
+            assert 1 <= reuse_tap <= cfg.depth, reuse_tap
+            assert deterministic, "feature reuse is an eval-only mode"
+        collect_delta = reuse_tap is not None and deep_delta is None
+        resume = deep_delta is not None
 
         x = jnp.concatenate([x2d, x3d], axis=-1).astype(cfg.dtype)
         x = nn.Dense(
@@ -598,12 +619,16 @@ class MixSTE2(nn.Module):
             h = h + temporal_pos.astype(cfg.dtype)  # (B*J, F, C) + (1, F, C)
             h = make_block("tte", 0)(h, deterministic,
                                      out_ln=temporal_ln, transpose_b=B)
-            for i in range(1, cfg.depth):
+            tap_stream = from_spatial(h) if reuse_tap == 1 else None
+            for i in range(1, reuse_tap if resume else cfg.depth):
                 h = make_block("ste", i)(h, deterministic,
                                          out_ln=spatial_ln, transpose_b=B)
                 h = make_block("tte", i)(h, deterministic,
                                          out_ln=temporal_ln, transpose_b=B)
-            x = from_spatial(h)
+                if reuse_tap == i + 1:
+                    tap_stream = from_spatial(h)
+            x = (tap_stream + deep_delta.astype(cfg.dtype)) if resume \
+                else from_spatial(h)
         else:
             # depth 0: spatial block (+shared norm), then temporal pos-embed
             # + temporal block (+shared norm)   (mixste.py:213-258)
@@ -617,15 +642,23 @@ class MixSTE2(nn.Module):
                                 deterministic=deterministic)(xt)
             xt = make_block("tte", 0)(xt, deterministic, out_ln=temporal_ln)
             x = from_temporal(temporal_norm(xt))
+            tap_stream = x if reuse_tap == 1 else None
 
             # depths 1..depth-1 alternate spatial/temporal (mixste.py:260-276)
-            for i in range(1, cfg.depth):
+            for i in range(1, reuse_tap if resume else cfg.depth):
                 xs = make_block("ste", i)(to_spatial(x), deterministic,
                                           out_ln=spatial_ln)
                 x = from_spatial(spatial_norm(xs))
                 xt = make_block("tte", i)(to_temporal(x), deterministic,
                                           out_ln=temporal_ln)
                 x = from_temporal(temporal_norm(xt))
+                if reuse_tap == i + 1:
+                    tap_stream = x
+            if resume:
+                x = tap_stream + deep_delta.astype(cfg.dtype)
+
+        if collect_delta:
+            deep_delta_out = x - tap_stream
 
         # the reference's head LN uses torch's default eps (1e-5), unlike the
         # 1e-6 block norms (mixste.py:207-210)
@@ -642,4 +675,6 @@ class MixSTE2(nn.Module):
             precision=cfg.precision,
             name="head",
         )(x)
+        if collect_delta:
+            return x, deep_delta_out
         return x

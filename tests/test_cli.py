@@ -41,6 +41,16 @@ def test_train_then_evaluate(tmp_path):
     # per-config txt log written like the reference (main.py:745)
     assert os.path.exists(os.path.join(tmp_path, "h36m_test_log_H2_K2.txt"))
 
+    # DDIM feature-reuse sampling mode (--ddim-reuse) evaluates end-to-end
+    r3 = run_cli(
+        tmp_path,
+        ["--evaluate", "best_epoch.ckpt", "-b", "4",
+         "-num_proposals", "2", "-sampling_timesteps", "3",
+         "--ddim-reuse", "2", "--ddim-reuse-tap", "1"],
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "Protocol #1 Error (MPJPE) J_Agg" in r3.stdout
+
 
 @pytest.mark.slow
 def test_3dhp_train_then_evaluate(tmp_path):

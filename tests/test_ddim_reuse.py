@@ -1,0 +1,115 @@
+"""DDIM feature-reuse sampling mode (FRDiff-style, arXiv:2312.03517).
+
+Invariants pinned here:
+  * reuse OFF (interval <= 1) is the default and takes the unmodified
+    scan — byte-identical sampler semantics to the reference
+    (common/diffusionpose.py:214-256).
+  * reuse with tap == depth is EXACTLY the full sampler (all block pairs
+    run fresh; the cached deep delta is identically zero) — catches any
+    drift between the reuse scan and the plain scan.
+  * the model-level contract: a "full" apply(reuse_tap=d) returns the
+    plain-forward output plus a delta which, replayed into a "resume"
+    apply at the same input, reproduces the full output exactly.
+  * step 0 of the reuse sampler (always a refresh step) matches the
+    plain sampler's step 0 exactly; later steps stay finite/bounded.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from d3dp_tpu.diffusion import D3DP, D3DPConfig
+from d3dp_tpu.models.mixste import MixSTE2, MixSTEConfig
+
+JL = [4, 5, 6, 11, 12, 13]
+JR = [1, 2, 3, 14, 15, 16]
+B, H, K, F, J = 2, 3, 4, 9, 17
+CS, DEP = 64, 4
+
+
+def cfg(**over):
+    return D3DPConfig(
+        model=MixSTEConfig(num_frames=F, embed_dim=CS, depth=DEP),
+        num_proposals=H,
+        sampling_timesteps=K,
+        joints_left=tuple(JL),
+        joints_right=tuple(JR),
+        **over,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    d3dp = D3DP(cfg())
+    params = d3dp.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    x2d = jnp.asarray(rng.randn(B, F, J, 2), jnp.float32)
+    x2d_flip = jnp.asarray(rng.randn(B, F, J, 2), jnp.float32)
+    return d3dp, params, x2d, x2d_flip
+
+
+class TestModelContract:
+    def test_full_apply_matches_plain_and_resume_roundtrips(self, setup):
+        d3dp, params, x2d, _ = setup
+        rng = np.random.RandomState(1)
+        x3d = jnp.asarray(rng.randn(B, F, J, 3), jnp.float32)
+        t = jnp.asarray([3, 700], jnp.int32)
+
+        plain = d3dp.model.apply(params, x2d, x3d, t, deterministic=True)
+        for tap in (1, 2, DEP):
+            out, delta = d3dp.model.apply(
+                params, x2d, x3d, t, deterministic=True, reuse_tap=tap)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(plain), atol=1e-6)
+            assert delta.shape == (B, F, J, CS)
+            # resume at the SAME input with the exact delta == full output
+            resumed = d3dp.model.apply(
+                params, x2d, x3d, t, deterministic=True, reuse_tap=tap,
+                deep_delta=delta)
+            np.testing.assert_allclose(
+                np.asarray(resumed), np.asarray(plain), atol=1e-6)
+
+    def test_tap_depth_delta_is_zero(self, setup):
+        d3dp, params, x2d, _ = setup
+        rng = np.random.RandomState(2)
+        x3d = jnp.asarray(rng.randn(B, F, J, 3), jnp.float32)
+        t = jnp.zeros((B,), jnp.int32)
+        _, delta = d3dp.model.apply(
+            params, x2d, x3d, t, deterministic=True, reuse_tap=DEP)
+        np.testing.assert_allclose(np.asarray(delta), 0.0, atol=1e-6)
+
+
+class TestReuseSampler:
+    def test_default_off(self):
+        assert D3DPConfig().reuse_interval == 1
+
+    def test_tap_equals_depth_is_exact(self, setup):
+        _, params, x2d, x2d_flip = setup
+        base = D3DP(cfg()).sample(params, jax.random.PRNGKey(7), x2d, x2d_flip)
+        reuse = D3DP(cfg(reuse_interval=2, reuse_tap=DEP)).sample(
+            params, jax.random.PRNGKey(7), x2d, x2d_flip)
+        np.testing.assert_allclose(
+            np.asarray(reuse), np.asarray(base), atol=1e-5)
+
+    def test_refresh_step_matches_and_rest_bounded(self, setup):
+        _, params, x2d, x2d_flip = setup
+        base = D3DP(cfg()).sample(params, jax.random.PRNGKey(9), x2d, x2d_flip)
+        reuse = D3DP(cfg(reuse_interval=2, reuse_tap=1)).sample(
+            params, jax.random.PRNGKey(9), x2d, x2d_flip)
+        assert reuse.shape == (B, K, H, F, J, 3)
+        # step 0 is a refresh step: identical model evaluation
+        np.testing.assert_allclose(
+            np.asarray(reuse[:, 0]), np.asarray(base[:, 0]), atol=1e-5)
+        # later steps are approximate but clamped by the x_start sandwich
+        assert np.isfinite(np.asarray(reuse)).all()
+        assert np.abs(np.asarray(reuse)).max() <= 1.1 * 1.0 + 1e-6
+
+    def test_noflip_variant(self, setup):
+        _, params, x2d, _ = setup
+        base = D3DP(cfg(flip_tta=False)).sample(
+            params, jax.random.PRNGKey(11), x2d)
+        reuse = D3DP(cfg(flip_tta=False, reuse_interval=3, reuse_tap=DEP)).sample(
+            params, jax.random.PRNGKey(11), x2d)
+        np.testing.assert_allclose(
+            np.asarray(reuse), np.asarray(base), atol=1e-5)
