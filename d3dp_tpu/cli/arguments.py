@@ -8,6 +8,7 @@ and validated but may be inert — documented per flag.
 """
 
 import argparse
+import os
 
 
 def build_parser(in_the_wild=False):
@@ -119,10 +120,11 @@ def build_parser(in_the_wild=False):
                         choices=["auto", "xla", "pallas"],
                         help="attention kernel: pallas = fused VMEM kernel "
                              "with custom-VJP backward (TPU only). 'auto' "
-                             "picks pallas on TPU for EVAL models; pass "
-                             "'pallas' explicitly to use it for training "
-                             "too (with --dtype bfloat16: ~4.3x step "
-                             "throughput).")
+                             "picks pallas on TPU for eval models, and for "
+                             "training too when --dtype bfloat16 (the "
+                             "qualified ~4.3x fast path; PERFORMANCE.md). "
+                             "fp32 training stays on the xla parity path "
+                             "unless 'pallas' is passed explicitly.")
     parser.add_argument("--ddim-reuse", type=int, default=0, metavar="N",
                         help="DDIM feature reuse (FRDiff-style): refresh the "
                              "deep transformer blocks every N sampling steps "
@@ -133,6 +135,13 @@ def build_parser(in_the_wild=False):
     parser.add_argument("--ddim-reuse-tap", type=int, default=2, metavar="D",
                         help="with --ddim-reuse: number of shallow block "
                              "pairs computed fresh on reuse steps (1..dep)")
+    parser.add_argument("--jax-cache", default=os.environ.get(
+                            "JAX_COMPILATION_CACHE_DIR",
+                            os.path.expanduser("~/.cache/d3dp_tpu/jax")),
+                        metavar="DIR",
+                        help="persistent XLA compilation cache directory "
+                             "(warm restarts skip recompiles, incl. through "
+                             "remote TPU backends); empty string disables")
     parser.add_argument("--platform", default="",
                         help="force a JAX platform (e.g. cpu); empty = default")
     parser.add_argument("--num-virtual-devices", type=int, default=0,
@@ -172,10 +181,18 @@ def parse_args(argv=None, in_the_wild=False):
 
 
 def apply_platform_args(args):
-    """Apply --platform/--num-virtual-devices before any jax backend use."""
+    """Apply --platform/--num-virtual-devices/--jax-cache before any jax
+    backend use."""
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
         if args.num_virtual_devices and args.platform == "cpu":
             jax.config.update("jax_num_cpu_devices", args.num_virtual_devices)
+    if args.jax_cache:
+        # persistent compiled-executable cache: restarts/resumes skip the
+        # (remote) XLA compile entirely — verified to work through this
+        # environment's tunnelled-TPU backend
+        os.makedirs(args.jax_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.jax_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -30,10 +30,15 @@ def _build_models(args):
     import jax
 
     attn = args.attention
+    on_tpu = jax.devices()[0].platform == "tpu"
     if attn == "auto":
-        attn = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-    # training keeps the xla path unless pallas is requested explicitly
-    train_attn = "pallas" if args.attention == "pallas" else "xla"
+        attn = "pallas" if on_tpu else "xla"
+    # training: fp32 stays on the xla parity path; requesting bf16 opts into
+    # the qualified fast path (PERFORMANCE.md bf16 qualification)
+    train_attn = "pallas" if (
+        args.attention == "pallas"
+        or (args.attention == "auto" and on_tpu and args.dtype == "bfloat16")
+    ) else "xla"
     mk_model = lambda dpr, impl="xla": MixSTEConfig(
         num_frames=args.number_of_frames, embed_dim=args.cs, depth=args.dep,
         drop_rate=args.dropout, drop_path_rate=dpr, dtype=dtype,

@@ -30,10 +30,16 @@ def _build_models(args, data):
     import jax
 
     attn = args.attention
+    on_tpu = jax.devices()[0].platform == "tpu"
     if attn == "auto":
-        attn = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-    # training keeps the xla path unless pallas is requested explicitly
-    train_attn = "pallas" if args.attention == "pallas" else "xla"
+        attn = "pallas" if on_tpu else "xla"
+    # training: fp32 stays on the xla parity path; requesting bf16 opts into
+    # the qualified fast path (PERFORMANCE.md: 22-epoch trajectory parity on
+    # structured synthetic + flagship grad cosine 0.99982 vs fp32+xla)
+    train_attn = "pallas" if (
+        args.attention == "pallas"
+        or (args.attention == "auto" and on_tpu and args.dtype == "bfloat16")
+    ) else "xla"
     # training always uses the differentiable xla path; eval models may use
     # the fused pallas kernel (forward-only)
     mk_model = lambda dpr, impl="xla": MixSTEConfig(

@@ -41,6 +41,17 @@ def test_train_then_evaluate(tmp_path):
     # per-config txt log written like the reference (main.py:745)
     assert os.path.exists(os.path.join(tmp_path, "h36m_test_log_H2_K2.txt"))
 
+    # the qualified bf16+Pallas fast path trains + evaluates end-to-end
+    # (interpret-mode kernels on CPU; real-chip qualification evidence in
+    # PERFORMANCE.md: 22-epoch trajectory parity + flagship grad cosine)
+    r_fast = run_cli(
+        tmp_path,
+        ["-e", "1", "-b", "108", "-cf", "1",
+         "--dtype", "bfloat16", "--attention", "pallas"],
+    )
+    assert r_fast.returncode == 0, r_fast.stderr[-2000:]
+    assert "3d_train" in r_fast.stdout
+
     # DDIM feature-reuse sampling mode (--ddim-reuse) evaluates end-to-end
     r3 = run_cli(
         tmp_path,
