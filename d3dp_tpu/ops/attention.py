@@ -13,12 +13,20 @@ Whole sequences fit in VMEM (N <= 243), so no online-softmax streaming is
 needed — the degenerate flash-attention case: one tile covers the full row.
 """
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _env_tile(name):
+    """Trace-time tile override for in-graph tuning experiments (e.g.
+    D3DP_TB_ATTN_T=16 python bench.py). Static per process."""
+    v = os.environ.get(name, "")
+    return int(v) if v else None
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, head_dim):
@@ -333,6 +341,7 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
     qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
     qkv = qkv.reshape(TB, N, 3 * C)
 
+    fold_div = (not f32_prec) and os.environ.get("D3DP_SOFTMAX_FOLD", "1") == "1"
     for hi in range(num_heads):
         q = qkv[:, :, hi * head_dim : (hi + 1) * head_dim]
         k = qkv[:, :, C + hi * head_dim : C + (hi + 1) * head_dim]
@@ -342,10 +351,22 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
             preferred_element_type=jnp.float32, precision=prec) * scale
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        a = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-        o = jax.lax.dot_general(
-            a, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=prec)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if fold_div:
+            # fold the softmax normaliser into the (N, d) output instead of
+            # dividing the (N, N) probabilities: ~N/d fewer VPU divisions.
+            # Mathematically identical; bf16-only (fp32 parity path keeps
+            # the reference op order bit-for-bit)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=prec)
+            o = o * (1.0 / l)
+        else:
+            a = (p / l).astype(v.dtype)
+            o = jax.lax.dot_general(
+                a, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=prec)
         acc_ref[:, :, hi * head_dim : (hi + 1) * head_dim] = o.astype(
             acc_ref.dtype)
 
@@ -372,9 +393,12 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
     if interpret is None:
         interpret = _interpret_default()
     if tb is None:
+        tb = _env_tile("D3DP_TB_ATTN_T" if N >= 128 else "D3DP_TB_ATTN_S")
+    if tb is None:
         tb = _tile_rows(B, N) if N >= 128 else max(_tile_rows(B, N) // 2, 1)
-        while B % tb:
-            tb -= 1
+    tb = max(min(tb, B), 1)
+    while B % tb:
+        tb -= 1
 
     mem = pltpu.ANY if interpret else pltpu.VMEM
     row_spec = pl.BlockSpec((tb, N, C), lambda i: (i, 0, 0), memory_space=mem)

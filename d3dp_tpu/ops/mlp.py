@@ -130,6 +130,11 @@ def _mlp_block_t_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
         interpret = jax.devices()[0].platform != "tpu"
     tile_first = D1 >= D2
     if tile is None:
+        import os
+        v = os.environ.get(
+            "D3DP_MLP_TILE_SP" if tile_first else "D3DP_MLP_TILE_TP", "")
+        tile = int(v) if v else None
+    if tile is None:
         # ~512 tokens per tile, multiple of 8 (output-block sublane rule);
         # 32 measured best in-graph on v5e at the flagship shapes
         tile = max(8, min(32, (512 // (D2 if tile_first else D1)) // 8 * 8))
