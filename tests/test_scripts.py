@@ -1,0 +1,45 @@
+"""Smoke tests for the benchmark/scaling scripts (subprocesses: they
+configure their own JAX backend, which must happen before first use)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cmd, timeout=540):
+    return subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                          timeout=timeout)
+
+
+def last_json(stdout):
+    lines = [l for l in stdout.strip().splitlines() if l.startswith("{")]
+    assert lines, stdout
+    return json.loads(lines[-1])
+
+
+@pytest.mark.slow
+def test_hostfeed_bench():
+    r = run([sys.executable, "scripts/bench_hostfeed.py",
+             "--minutes-of-data", "3", "--frames", "81"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = last_json(r.stdout)
+    assert d["metric"] == "host_feed_frames_per_sec"
+    assert d["value"] > 0
+    assert set(d["detail"]) >= {"cpp_assembler", "numpy_fallback",
+                                "cpp_plus_prefetcher"}
+
+
+@pytest.mark.slow
+def test_bench_dp_scaling_mode():
+    r = run([sys.executable, "bench.py", "--dp", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = last_json(r.stdout)
+    assert d["metric"] == "virtual_mesh_dp_scaling"
+    by_dp = d["detail"]["hyp_frames_per_sec_by_dp"]
+    assert set(by_dp) == {"1", "2"}
+    assert all(v > 0 for v in by_dp.values())
