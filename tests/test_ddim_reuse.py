@@ -105,6 +105,28 @@ class TestReuseSampler:
         assert np.isfinite(np.asarray(reuse)).all()
         assert np.abs(np.asarray(reuse)).max() <= 1.1 * 1.0 + 1e-6
 
+    def test_sharded_reuse_matches_unsharded(self, setup):
+        """The reuse scan (lax.cond + carried delta cache) under a dp mesh
+        equals the single-device result — GSPMD handles the conditional and
+        the sharded carry."""
+        from d3dp_tpu.parallel import make_mesh, batch_sharding
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        _, params, x2d, x2d_flip = setup
+        d3dp = D3DP(cfg(reuse_interval=2, reuse_tap=1))
+        single = d3dp.sample(params, jax.random.PRNGKey(5), x2d, x2d_flip)
+
+        mesh = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
+        bs = batch_sharding(mesh)
+        x2d_s = jax.device_put(x2d, bs)
+        x2f_s = jax.device_put(x2d_flip, bs)
+        sharded = jax.jit(
+            lambda p, k: d3dp.sample(p, k, x2d_s, x2f_s)
+        )(params, jax.random.PRNGKey(5))
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(single), atol=2e-5)
+
     def test_noflip_variant(self, setup):
         _, params, x2d, _ = setup
         base = D3DP(cfg(flip_tta=False)).sample(
