@@ -67,7 +67,7 @@ def _build_models(args, data):
                                 num_proposals=args.num_proposals,
                                 sampling_timesteps=args.sampling_timesteps,
                                 reuse_interval=max(args.ddim_reuse, 1),
-                                reuse_tap=min(args.ddim_reuse_tap, args.dep),
+                                reuse_tap=max(1, min(args.ddim_reuse_tap, args.dep)),
                                 **common))
     return d3dp_train, d3dp_valid, d3dp_eval
 

@@ -13,6 +13,7 @@ Differentiable via custom VJP (XLA-composed backward that recomputes the
 hidden activation — the op is bandwidth-bound, not FLOP-bound).
 """
 
+import os
 from functools import partial
 
 import jax
@@ -102,14 +103,29 @@ def _mlp_block_t_kernel(x_ref, res_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     transpose over the full activation set."""
     prec = jax.lax.Precision.HIGHEST if f32_prec else None
     x = x_ref[0]
-    h = jax.lax.dot_general(
-        x, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
-    h = _gelu_exact(h + b1_ref[:].astype(jnp.float32))
-    out = jax.lax.dot_general(
-        h.astype(x.dtype), w2_ref[:],
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
+    if os.environ.get("D3DP_MLP_FLAT", "") == "1":
+        # collapse the (tile, D) leading dims so the matmuls see one
+        # (tile*D, C) M dimension instead of a rank-3 contraction
+        D1_, D2_, C_ = x.shape
+        x2d = x.reshape(D1_ * D2_, C_)
+        h = jax.lax.dot_general(
+            x2d, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        h = _gelu_exact(h + b1_ref[:].astype(jnp.float32))
+        out = jax.lax.dot_general(
+            h.astype(x.dtype), w2_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        out = out.reshape(D1_, D2_, C_)
+    else:
+        h = jax.lax.dot_general(
+            x, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        h = _gelu_exact(h + b1_ref[:].astype(jnp.float32))
+        out = jax.lax.dot_general(
+            h.astype(x.dtype), w2_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
     s = res_ref[0].astype(jnp.float32) + out + b2_ref[:].astype(jnp.float32)
 
     mu = jnp.mean(s, axis=-1, keepdims=True)
