@@ -47,29 +47,13 @@ def parse_args():
     return p.parse_args()
 
 
-def _enable_compile_cache():
-    """Persistent XLA compile cache (works through the tunnelled TPU
-    backend): repeat bench runs skip the multi-minute remote compiles."""
-    import os
-
-    import jax
-
-    cache = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.cache/d3dp_tpu/jax"))
-    try:
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass  # cache is an optimisation; never fail the bench over it
-
-
 def main(opts=None):
     opts = opts or parse_args()
     if opts.dp:
         return scaling_mode(opts.dp)
-    _enable_compile_cache()
+    from d3dp_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from d3dp_tpu.diffusion import D3DP, D3DPConfig
@@ -90,7 +74,7 @@ def main(opts=None):
             num_proposals=H,
             sampling_timesteps=K,
             reuse_interval=reuse,
-            reuse_tap=opts.ddim_reuse_tap,
+            reuse_tap=max(1, min(opts.ddim_reuse_tap, 8)),
         )
     )
     params = d3dp.init_params(jax.random.PRNGKey(0))

@@ -190,9 +190,6 @@ def apply_platform_args(args):
         if args.num_virtual_devices and args.platform == "cpu":
             jax.config.update("jax_num_cpu_devices", args.num_virtual_devices)
     if args.jax_cache:
-        # persistent compiled-executable cache: restarts/resumes skip the
-        # (remote) XLA compile entirely — verified to work through this
-        # environment's tunnelled-TPU backend
-        os.makedirs(args.jax_cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", args.jax_cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        from d3dp_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache(args.jax_cache)

@@ -40,8 +40,6 @@ def _build_models(args, data):
         args.attention == "pallas"
         or (args.attention == "auto" and on_tpu and args.dtype == "bfloat16")
     ) else "xla"
-    # training always uses the differentiable xla path; eval models may use
-    # the fused pallas kernel (forward-only)
     mk_model = lambda dpr, impl="xla": MixSTEConfig(
         num_frames=args.number_of_frames,
         num_joints=data.num_joints,

@@ -469,7 +469,9 @@ def _attention_stage_p_bwd(num_heads, scale, eps, resids, grads):
     xhat = (x32 - mu) * rstd
     y1 = (xhat * ln1_s.astype(jnp.float32)
           + ln1_b.astype(jnp.float32)).astype(x.dtype)
-    qkv = (y1 @ wqkv.astype(y1.dtype)).reshape(B, N, 3 * C)
+    # same matmul precision as the forward kernel (fp32 defaults low here)
+    qkv = jnp.matmul(y1, wqkv.astype(y1.dtype),
+                     precision=prec).reshape(B, N, 3 * C)
     qkv = qkv + bqkv.astype(qkv.dtype)
     a = fused_attention_qkv(qkv, num_heads, scale)
 

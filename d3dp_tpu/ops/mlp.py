@@ -35,7 +35,14 @@ def _erf32(x):
 
 
 def _gelu_exact(x32, exact_erf=False):
-    # torch nn.GELU default (erf form) — parity with the reference
+    """torch nn.GELU default (erf form) — parity with the reference.
+
+    In-kernel callers must use the _erf32 polynomial (Mosaic cannot lower
+    lax.erf); its 1.5e-7 abs error is the fused path's only deviation from
+    the bit-exact erf and sits well below every parity tolerance. XLA-side
+    recomputes (custom-VJP backwards) pass exact_erf=True — marginally MORE
+    accurate than the forward, which is fine: the strict-parity fp32+XLA
+    path never enters these kernels at all."""
     erf = jax.lax.erf if exact_erf else _erf32
     return 0.5 * x32 * (1.0 + erf(x32 * (2.0**-0.5)))
 
@@ -234,11 +241,16 @@ def _mlp_block_p_bwd(eps, resids, gy):
     x, res, w1, b1, w2, b2, ln_scale = resids
     prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
     x32 = x.astype(jnp.float32)
-    pre = x32 @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
+    # recomputed activations must use the same (HIGHEST for fp32) matmul
+    # precision as the forward kernel — this build defaults fp32 matmuls low
+    pre = jnp.matmul(x32, w1.astype(jnp.float32),
+                     precision=prec) + b1.astype(jnp.float32)
     h = _gelu_exact(pre, exact_erf=True)
     hb = h.astype(x.dtype)
-    s32 = (res.astype(jnp.float32) + hb.astype(jnp.float32) @
-           w2.astype(jnp.float32) + b2.astype(jnp.float32))
+    s32 = (res.astype(jnp.float32)
+           + jnp.matmul(hb.astype(jnp.float32), w2.astype(jnp.float32),
+                        precision=prec)
+           + b2.astype(jnp.float32))
 
     ds, dln_scale, dln_bias = _ln_bwd_rows(s32, ln_scale, gy, eps)
     dres = ds.astype(res.dtype)
