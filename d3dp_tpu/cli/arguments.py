@@ -146,6 +146,14 @@ def build_parser(in_the_wild=False):
                         help="force a JAX platform (e.g. cpu); empty = default")
     parser.add_argument("--num-virtual-devices", type=int, default=0,
                         help="with --platform cpu: create N virtual devices")
+    parser.add_argument("--multihost", action="store_true",
+                        help="join the JAX process group before backend init "
+                             "(pod auto-detection; use the coordinator flags "
+                             "for manual bring-up)")
+    parser.add_argument("--coordinator-address", default="", metavar="HOST:PORT",
+                        help="multi-host coordinator (implies --multihost)")
+    parser.add_argument("--num-hosts", type=int, default=0, metavar="N")
+    parser.add_argument("--host-id", type=int, default=-1, metavar="I")
     parser.add_argument("--dp", type=int, default=0,
                         help="data-parallel mesh size (0 = all devices)")
     parser.add_argument("--tp", type=int, default=1,
@@ -181,10 +189,18 @@ def parse_args(argv=None, in_the_wild=False):
 
 
 def apply_platform_args(args):
-    """Apply --platform/--num-virtual-devices/--jax-cache before any jax
-    backend use."""
+    """Apply --platform/--num-virtual-devices/--jax-cache/--multihost before
+    any jax backend use."""
     import jax
 
+    if args.multihost or args.coordinator_address:
+        from d3dp_tpu.parallel.multihost import initialize_multihost
+
+        idx, count = initialize_multihost(
+            coordinator_address=args.coordinator_address or None,
+            num_processes=args.num_hosts or None,
+            process_id=args.host_id if args.host_id >= 0 else None)
+        print(f"multihost: process {idx}/{count}")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
         if args.num_virtual_devices and args.platform == "cpu":

@@ -5,6 +5,11 @@ from d3dp_tpu.parallel.mesh import (
     mixste_param_spec,
     shard_params,
 )
+from d3dp_tpu.parallel.multihost import (
+    initialize_multihost,
+    global_batch,
+    host_slice,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +17,7 @@ __all__ = [
     "replicated_sharding",
     "mixste_param_spec",
     "shard_params",
+    "initialize_multihost",
+    "global_batch",
+    "host_slice",
 ]

@@ -53,11 +53,20 @@ def latest_checkpoint(directory):
     return best if os.path.exists(best) else None
 
 
+_async_checkpointer = None
+
+
 def save_checkpoint_orbax(directory, *, epoch, lr, params, opt_state=None,
-                          min_loss=None):
+                          min_loss=None, wait=True):
     """Orbax backend: same logical payload in a sharding-aware, async-capable
     format (preferred for multi-host runs; the pickle format stays the
-    single-host default for its self-containedness)."""
+    single-host default for its self-containedness).
+
+    wait=False makes the save asynchronous: the device-to-host copy happens
+    now but serialization overlaps with subsequent training steps. Call
+    wait_for_checkpoints() (or the next save) before reading the directory.
+    """
+    global _async_checkpointer
     import orbax.checkpoint as ocp
 
     payload = {
@@ -65,9 +74,18 @@ def save_checkpoint_orbax(directory, *, epoch, lr, params, opt_state=None,
         "opt_state": None if opt_state is None else _to_numpy(opt_state),
         "meta": {"epoch": epoch, "lr": lr, "min_loss": min_loss},
     }
-    ckptr = ocp.StandardCheckpointer()
+    if _async_checkpointer is None:
+        _async_checkpointer = ocp.StandardCheckpointer()
+    ckptr = _async_checkpointer
     ckptr.save(os.path.abspath(directory), payload, force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
+
+
+def wait_for_checkpoints():
+    """Block until every pending async orbax save has committed."""
+    if _async_checkpointer is not None:
+        _async_checkpointer.wait_until_finished()
 
 
 def load_checkpoint_orbax(directory):
