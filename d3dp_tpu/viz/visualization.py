@@ -232,9 +232,15 @@ def render_animation(keypoints, keypoints_metadata, poses, skeleton, fps,
         fig, update_video, frames=np.arange(0, n_frames),
         interval=1000 / fps, repeat=False)
     if output.endswith(".mp4"):
-        Writer = writers["ffmpeg"]
-        writer = Writer(fps=fps, metadata={}, bitrate=bitrate)
-        anim.save(output, writer=writer)
+        if _have_ffmpeg():
+            Writer = writers["ffmpeg"]
+            writer = Writer(fps=fps, metadata={}, bitrate=bitrate)
+            anim.save(output, writer=writer)
+        else:
+            # ffmpeg-free mp4: rasterize each animation frame with Agg and
+            # stream it into cv2.VideoWriter (reference hard-requires the
+            # ffmpeg matplotlib writer, visualization.py:644-650)
+            _save_mp4_cv2(fig, update_video, n_frames, fps, output)
     elif output.endswith(".gif"):
         try:
             anim.save(output, dpi=80, writer="imagemagick")
@@ -244,6 +250,31 @@ def render_animation(keypoints, keypoints_metadata, poses, skeleton, fps,
         raise ValueError(
             "Unsupported output format (only .mp4 and .gif are supported)")
     plt.close(fig)
+
+
+def _save_mp4_cv2(fig, update_fn, n_frames, fps, output):
+    """Write an animation as mp4 through cv2.VideoWriter: draw each frame on
+    the figure's Agg canvas and encode the RGB buffer (BGR for cv2)."""
+    import cv2
+
+    size = None
+    writer = None
+    try:
+        for i in range(n_frames):
+            update_fn(i)
+            fig.canvas.draw()
+            buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+            if writer is None:
+                size = (buf.shape[1], buf.shape[0])
+                writer = cv2.VideoWriter(
+                    output, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+                if not writer.isOpened():
+                    raise RuntimeError(
+                        f"cv2.VideoWriter could not open {output}")
+            writer.write(cv2.cvtColor(buf, cv2.COLOR_RGB2BGR))
+    finally:
+        if writer is not None:
+            writer.release()
 
 
 # --------------------------------------------- multi-hypothesis 3D figures

@@ -31,6 +31,30 @@ def test_render_animation_gif(tmp_path, rng):
     assert os.path.getsize(out) > 1000
 
 
+def test_render_animation_mp4_cv2(tmp_path, rng):
+    """mp4 output without ffmpeg: the cv2.VideoWriter fallback produces a
+    playable file (the reference hard-requires matplotlib's ffmpeg writer)."""
+    import cv2
+
+    from d3dp_tpu.viz.visualization import render_animation
+
+    T, J = 6, 17
+    keypoints = rng.rand(T, J, 2).astype(np.float32) * 200
+    poses = {"Reconstruction": rng.randn(T, J, 3).astype(np.float32) * 0.3}
+    out = str(tmp_path / "anim.mp4")
+    render_animation(
+        keypoints,
+        {"keypoints_symmetry": ([4, 5, 6], [1, 2, 3])},
+        poses, _skeleton(), fps=5, bitrate=1000, azim=70.0, output=out,
+        viewport=(200, 200), limit=4, size=3)
+    assert os.path.getsize(out) > 1000
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    assert n == 4, n  # limit=4 frames written
+
+
 def test_draw_3d_image_select(tmp_path, rng):
     from d3dp_tpu.viz.visualization import draw_3d_image_select
 
