@@ -97,6 +97,11 @@ def main(opts=None):
     elapsed = (time.perf_counter() - start) / n_iter
 
     hf_per_sec = B * H * F * K / elapsed
+    # achieved model FLOP rate: K denoise steps, flip-TTA doubles the rows,
+    # ~2*params FLOPs per token position (params from the printed count)
+    params_n = 34.8e6
+    rows = 2 * B * H  # flip-fused batch
+    model_tflops = K * 2 * params_n * rows * F * J / elapsed / 1e12
 
     # secondary: training-step throughput at the reference batch size
     # (4 chunks x 243 frames; bf16 compute + custom-VJP pallas attention,
@@ -138,6 +143,7 @@ def main(opts=None):
                               + (f" reuse={reuse}/tap={opts.ddim_reuse_tap}"
                                  if reuse > 1 else ""),
                     "seconds_per_call": round(elapsed, 4),
+                    "model_tflops_per_sec": round(model_tflops, 1),
                     "train_frames_per_sec": round(train_frames_per_sec, 1),
                     "device": str(dev),
                     "baseline_basis": "analytic estimate of the PyTorch "

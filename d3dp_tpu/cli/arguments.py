@@ -146,6 +146,12 @@ def build_parser(in_the_wild=False):
                         help="force a JAX platform (e.g. cpu); empty = default")
     parser.add_argument("--num-virtual-devices", type=int, default=0,
                         help="with --platform cpu: create N virtual devices")
+    parser.add_argument("--input-pipeline", default="thread",
+                        choices=["thread", "grain"],
+                        help="training input pipeline: 'thread' = background "
+                             "prefetcher (+C++ assembler), 'grain' = "
+                             "grain.MapDataset multi-threaded read-ahead "
+                             "(byte-identical batches either way)")
     parser.add_argument("--multihost", action="store_true",
                         help="join the JAX process group before backend init "
                              "(pod auto-detection; use the coordinator flags "

@@ -133,9 +133,16 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer=None):
         step_losses, step_weights = [], []
         from d3dp_tpu.data.prefetch import Prefetcher, device_put_batches
 
-        batches = Prefetcher(
-            train_generator.next_epoch(),
-            to_device=device_put_batches(1, 2), depth=2)  # weights stay
+        if args.input_pipeline == "grain":
+            from d3dp_tpu.data.grain_pipeline import GrainChunkedPipeline
+
+            batches = GrainChunkedPipeline(
+                train_generator,
+                to_device=device_put_batches(1, 2)).next_epoch()
+        else:
+            batches = Prefetcher(
+                train_generator.next_epoch(),
+                to_device=device_put_batches(1, 2), depth=2)  # weights stay
         # host-side: their sum is the step count and must not force a
         # device sync
         for batch in batches:

@@ -162,92 +162,99 @@ class ChunkedGenerator:
             chunk = np.pad(chunk, pad, "edge")
         return chunk
 
+    def assemble_batch(self, chunks):
+        """Assemble one batch from a table slice of (seq, start, end, flip)
+        rows: flip augmentation (incl. camera sign flips), edge padding,
+        fixed-shape pad_last rows. Pure function of its inputs (fresh output
+        arrays; no generator state touched) — safe to call from worker
+        threads (the grain pipeline does)."""
+        n = len(chunks)
+        bs = self.batch_size if self.pad_last else n
+
+        weights = np.zeros((bs,), dtype=np.float32)
+        weights[:n] = 1.0
+
+        batch_cam = None
+        if self.cameras is not None:
+            batch_cam = np.empty((bs, self.cameras[0].shape[-1]),
+                                 dtype=np.float32)
+            for i, (seq_i, start, end, flip) in enumerate(chunks):
+                cam = np.array(self.cameras[int(seq_i)], dtype=np.float32)
+                if flip:
+                    cam[2] *= -1  # principal point cx
+                    cam[7] *= -1  # tangential p1
+                batch_cam[i] = cam
+
+        if self._native is not None:
+            chunk_arr = np.asarray(chunks, dtype=np.int64).reshape(n, 4)
+            batch_2d = np.empty(
+                (bs, self.chunk_length) + self.poses_2d[0].shape[1:],
+                dtype=np.float32)
+            self._native.assemble_chunks(
+                self._bank_2d, chunk_arr, self.chunk_length,
+                self._perm_2d, self._sign_2d, out=batch_2d[:n])
+            batch_3d = None
+            if self._bank_3d is not None:
+                batch_3d = np.empty(
+                    (bs, self.chunk_length) + self.poses_3d[0].shape[1:],
+                    dtype=np.float32)
+                self._native.assemble_chunks(
+                    self._bank_3d, chunk_arr, self.chunk_length,
+                    self._perm_3d, self._sign_3d, out=batch_3d[:n])
+        else:
+            batch_2d = np.empty(
+                (bs, self.chunk_length) + self.poses_2d[0].shape[1:],
+                dtype=np.float32)
+            batch_3d = None
+            if self.poses_3d is not None:
+                batch_3d = np.empty(
+                    (bs, self.chunk_length) + self.poses_3d[0].shape[1:],
+                    dtype=np.float32)
+
+            for i, (seq_i, start, end, flip) in enumerate(chunks):
+                seq_i, start, end = int(seq_i), int(start), int(end)
+                chunk_2d = self._extract(self.poses_2d, seq_i, start, end)
+                if flip:
+                    chunk_2d = chunk_2d.copy()
+                    chunk_2d[..., 0] *= -1
+                    chunk_2d[:, self.kps_left + self.kps_right] = chunk_2d[
+                        :, self.kps_right + self.kps_left]
+                batch_2d[i] = chunk_2d
+
+                if batch_3d is not None:
+                    chunk_3d = self._extract(
+                        self.poses_3d, seq_i, start, end)
+                    if flip:
+                        chunk_3d = chunk_3d.copy()
+                        chunk_3d[..., 0] *= -1
+                        chunk_3d[:, self.joints_left + self.joints_right] = (
+                            chunk_3d[:, self.joints_right + self.joints_left])
+                    batch_3d[i] = chunk_3d
+
+        if self.pad_last and n < bs:
+            # pad rows replicate row 0 (keeps values finite — the
+            # masked loss multiplies by 0, and 0*NaN would poison
+            # gradients); weights stay 0 -> masked out
+            batch_2d[n:] = batch_2d[0]
+            if batch_3d is not None:
+                batch_3d[n:] = batch_3d[0]
+            if batch_cam is not None:
+                batch_cam[n:] = batch_cam[0]
+
+        if self.pad_last:
+            return batch_cam, batch_3d, batch_2d, weights
+        return batch_cam, batch_3d, batch_2d
+
     def next_epoch(self):
         enabled = True
         while enabled:
             start_idx, table = self._epoch_order()
             for b_i in range(start_idx, self.num_batches):
                 chunks = table[b_i * self.batch_size : (b_i + 1) * self.batch_size]
-                n = len(chunks)
-                bs = self.batch_size if self.pad_last else n
-
-                weights = np.zeros((bs,), dtype=np.float32)
-                weights[:n] = 1.0
-
-                batch_cam = None
-                if self.cameras is not None:
-                    batch_cam = np.empty((bs, self.cameras[0].shape[-1]),
-                                         dtype=np.float32)
-                    for i, (seq_i, start, end, flip) in enumerate(chunks):
-                        cam = np.array(self.cameras[int(seq_i)], dtype=np.float32)
-                        if flip:
-                            cam[2] *= -1  # principal point cx
-                            cam[7] *= -1  # tangential p1
-                        batch_cam[i] = cam
-
-                if self._native is not None:
-                    chunk_arr = np.asarray(chunks, dtype=np.int64).reshape(n, 4)
-                    batch_2d = np.empty(
-                        (bs, self.chunk_length) + self.poses_2d[0].shape[1:],
-                        dtype=np.float32)
-                    self._native.assemble_chunks(
-                        self._bank_2d, chunk_arr, self.chunk_length,
-                        self._perm_2d, self._sign_2d, out=batch_2d[:n])
-                    batch_3d = None
-                    if self._bank_3d is not None:
-                        batch_3d = np.empty(
-                            (bs, self.chunk_length) + self.poses_3d[0].shape[1:],
-                            dtype=np.float32)
-                        self._native.assemble_chunks(
-                            self._bank_3d, chunk_arr, self.chunk_length,
-                            self._perm_3d, self._sign_3d, out=batch_3d[:n])
-                else:
-                    batch_2d = np.empty(
-                        (bs, self.chunk_length) + self.poses_2d[0].shape[1:],
-                        dtype=np.float32)
-                    batch_3d = None
-                    if self.poses_3d is not None:
-                        batch_3d = np.empty(
-                            (bs, self.chunk_length) + self.poses_3d[0].shape[1:],
-                            dtype=np.float32)
-
-                    for i, (seq_i, start, end, flip) in enumerate(chunks):
-                        seq_i, start, end = int(seq_i), int(start), int(end)
-                        chunk_2d = self._extract(self.poses_2d, seq_i, start, end)
-                        if flip:
-                            chunk_2d = chunk_2d.copy()
-                            chunk_2d[..., 0] *= -1
-                            chunk_2d[:, self.kps_left + self.kps_right] = chunk_2d[
-                                :, self.kps_right + self.kps_left]
-                        batch_2d[i] = chunk_2d
-
-                        if batch_3d is not None:
-                            chunk_3d = self._extract(
-                                self.poses_3d, seq_i, start, end)
-                            if flip:
-                                chunk_3d = chunk_3d.copy()
-                                chunk_3d[..., 0] *= -1
-                                chunk_3d[:, self.joints_left + self.joints_right] = (
-                                    chunk_3d[:, self.joints_right + self.joints_left])
-                            batch_3d[i] = chunk_3d
-
-                if self.pad_last and n < bs:
-                    # pad rows replicate row 0 (keeps values finite — the
-                    # masked loss multiplies by 0, and 0*NaN would poison
-                    # gradients); weights stay 0 -> masked out
-                    batch_2d[n:] = batch_2d[0]
-                    if batch_3d is not None:
-                        batch_3d[n:] = batch_3d[0]
-                    if batch_cam is not None:
-                        batch_cam[n:] = batch_cam[0]
-
+                batch = self.assemble_batch(chunks)
                 if self.endless:
                     self.state = (b_i + 1, table)
-
-                if self.pad_last:
-                    yield batch_cam, batch_3d, batch_2d, weights
-                else:
-                    yield batch_cam, batch_3d, batch_2d
+                yield batch
 
             if self.endless:
                 self.state = None

@@ -77,6 +77,21 @@ def main():
         frames += batch[2].shape[0] * batch[2].shape[1]
     results["cpp_plus_prefetcher"] = round(frames / (time.perf_counter() - t0), 1)
 
+    try:  # optional grain-backed pipeline (same batches, grain read-ahead)
+        from d3dp_tpu.data.grain_pipeline import GrainChunkedPipeline
+
+        gen = ChunkedGenerator(opts.batch, cams, p3, p2, use_native=True, **kw)
+        pipe = GrainChunkedPipeline(gen, num_threads=8, prefetch=16)
+        for _ in pipe.next_epoch():  # warm grain's one-time bootstrap (~2s)
+            pass
+        frames = 0
+        t0 = time.perf_counter()
+        for batch in pipe.next_epoch():
+            frames += batch[2].shape[0] * batch[2].shape[1]
+        results["cpp_plus_grain"] = round(frames / (time.perf_counter() - t0), 1)
+    except ImportError:
+        pass
+
     best = max(results.values())
     print(json.dumps({
         "metric": "host_feed_frames_per_sec",
