@@ -589,7 +589,10 @@ def fused_attention_qkv(qkv, num_heads, scale, interpret=None, tb=None):
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     if tb is None:
-        tb = _tile_rows(B, N)
+        tb = _env_tile("D3DP_TB_QKV_T" if N >= 128 else "D3DP_TB_QKV_S") \
+            or _tile_rows(B, N)
+        while B % tb:
+            tb -= 1
 
     in_spec = pl.BlockSpec(
         (tb, N, C3), lambda i: (i, 0, 0),

@@ -75,7 +75,8 @@ def _mlp_block_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     if tr is None:
-        tr = min(R, 512)
+        v = os.environ.get("D3DP_MLP_TILE_ROWS", "")
+        tr = min(R, int(v) if v else 512)
     mem = pltpu.ANY if interpret else pltpu.VMEM
     row_spec = pl.BlockSpec((tr, C), lambda i: (i, 0), memory_space=mem)
     w1_spec = pl.BlockSpec((C, H), lambda i: (0, 0), memory_space=mem)
