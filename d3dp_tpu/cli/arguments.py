@@ -135,6 +135,12 @@ def build_parser(in_the_wild=False):
     parser.add_argument("--ddim-reuse-tap", type=int, default=2, metavar="D",
                         help="with --ddim-reuse: number of shallow block "
                              "pairs computed fresh on reuse steps (1..dep)")
+    parser.add_argument("--ddim-reuse-adaptive", type=float, default=0.0,
+                        metavar="TAU",
+                        help="with --ddim-reuse: ALSO refresh whenever the "
+                             "noisy pose drifts more than TAU (relative L2) "
+                             "since the last refresh — the interval becomes "
+                             "the maximum stretch (0 = fixed schedule)")
     parser.add_argument("--jax-cache", default=os.environ.get(
                             "JAX_COMPILATION_CACHE_DIR",
                             os.path.expanduser("~/.cache/d3dp_tpu/jax")),

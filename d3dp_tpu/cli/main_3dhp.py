@@ -57,6 +57,7 @@ def _build_models(args):
                                 sampling_timesteps=args.sampling_timesteps,
                                 reuse_interval=max(args.ddim_reuse, 1),
                                 reuse_tap=max(1, min(args.ddim_reuse_tap, args.dep)),
+                                reuse_tau=args.ddim_reuse_adaptive,
                                 **common))
     return d3dp_train, d3dp_valid, d3dp_eval
 

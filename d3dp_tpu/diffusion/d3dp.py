@@ -72,6 +72,11 @@ class D3DPConfig:
     # semantics). Approximate — eval-only accuracy/speed trade-off.
     reuse_interval: int = 1
     reuse_tap: int = 2
+    # adaptive refresh (TeaCache-style): additionally refresh whenever the
+    # noisy pose has drifted more than `reuse_tau` (relative L2 vs the last
+    # refresh point, max over the batch) — the interval then acts as the
+    # maximum stretch between refreshes. 0 = pure fixed-interval schedule.
+    reuse_tau: float = 0.0
     joints_left: Tuple[int, ...] = (4, 5, 6, 11, 12, 13)
     joints_right: Tuple[int, ...] = (1, 2, 3, 14, 15, 16)
 
@@ -236,6 +241,7 @@ class D3DP:
             # apply the cached delta. One lax.cond inside the scan — both
             # branches compile once, only one executes per step.
             tap = cfg.reuse_tap
+            tau = cfg.reuse_tau
             mcfg = self.cfg.model
             rows = B * H * (2 if flip else 1)
             delta0 = jnp.zeros((rows, F, J, mcfg.embed_dim), mcfg.dtype)
@@ -258,19 +264,30 @@ class D3DP:
                 return from_flat(pred)
 
             def step(carry, xs):
-                img, delta = carry
-                c, noise, full = xs
-                pred_pose, delta = jax.lax.cond(
+                img, delta, img_ref = carry
+                c, noise, sched_full = xs
+                full = sched_full
+                if tau > 0:
+                    # adaptive: refresh when the noisy pose drifted beyond
+                    # tau (relative L2, max over the folded batch) since the
+                    # last refresh — cond's predicate must be one scalar, so
+                    # the most-drifted sample decides for the whole batch
+                    drift = jnp.linalg.norm(
+                        (img - img_ref).reshape(B * H, -1), axis=-1
+                    ) / (jnp.linalg.norm(
+                        img_ref.reshape(B * H, -1), axis=-1) + 1e-8)
+                    full = jnp.logical_or(sched_full, jnp.max(drift) > tau)
+                pred_pose, delta, img_ref = jax.lax.cond(
                     full,
-                    lambda im, d: denoise_full(im, c["t"]),
-                    lambda im, d: (denoise_reuse(im, c["t"], d), d),
-                    img, delta,
+                    lambda im, d, r: denoise_full(im, c["t"]) + (im,),
+                    lambda im, d, r: (denoise_reuse(im, c["t"], d), d, r),
+                    img, delta, img_ref,
                 )
                 img, x_start = ddim_update(img, pred_pose, c, noise)
-                return (img, delta), x_start
+                return (img, delta, img_ref), x_start
 
             _, preds_all = jax.lax.scan(
-                step, (img0, delta0), (consts, step_noises, is_full))
+                step, (img0, delta0, img0), (consts, step_noises, is_full))
         # (K,B,H,F,J,3) -> (B,K,H,F,J,3), matching the reference stack dim
         preds_all = jnp.moveaxis(preds_all, 0, 1)
         return preds_all * cfg.unit_scale

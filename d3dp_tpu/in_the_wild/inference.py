@@ -187,7 +187,8 @@ def main(args):
         joints_left=tuple(JOINTS_LEFT), joints_right=tuple(JOINTS_RIGHT),
         flip_tta=args.test_time_augmentation,
         reuse_interval=max(args.ddim_reuse, 1),
-        reuse_tap=max(1, min(args.ddim_reuse_tap, args.dep))))
+        reuse_tap=max(1, min(args.ddim_reuse_tap, args.dep)),
+        reuse_tau=args.ddim_reuse_adaptive))
 
     print("Loading checkpoint", args.evaluate)
     ckpt = load_any(args.evaluate, depth=args.dep)

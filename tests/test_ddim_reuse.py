@@ -127,6 +127,26 @@ class TestReuseSampler:
         np.testing.assert_allclose(
             np.asarray(sharded), np.asarray(single), atol=2e-5)
 
+    def test_adaptive_tiny_tau_is_exact(self, setup):
+        """tau ~ 0: any drift triggers a refresh, so every step runs the
+        full model -> identical to the exact sampler."""
+        _, params, x2d, x2d_flip = setup
+        base = D3DP(cfg()).sample(params, jax.random.PRNGKey(13), x2d, x2d_flip)
+        ada = D3DP(cfg(reuse_interval=K + 1, reuse_tap=1,
+                       reuse_tau=1e-9)).sample(
+            params, jax.random.PRNGKey(13), x2d, x2d_flip)
+        np.testing.assert_allclose(np.asarray(ada), np.asarray(base), atol=1e-5)
+
+    def test_adaptive_huge_tau_equals_fixed_schedule(self, setup):
+        """tau -> inf: drift never triggers, leaving exactly the fixed
+        interval schedule."""
+        _, params, x2d, x2d_flip = setup
+        fixed = D3DP(cfg(reuse_interval=2, reuse_tap=1)).sample(
+            params, jax.random.PRNGKey(14), x2d, x2d_flip)
+        ada = D3DP(cfg(reuse_interval=2, reuse_tap=1, reuse_tau=1e9)).sample(
+            params, jax.random.PRNGKey(14), x2d, x2d_flip)
+        np.testing.assert_allclose(np.asarray(ada), np.asarray(fixed), atol=1e-6)
+
     def test_noflip_variant(self, setup):
         _, params, x2d, _ = setup
         base = D3DP(cfg(flip_tta=False)).sample(
