@@ -111,29 +111,20 @@ def _mlp_block_t_kernel(x_ref, res_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     transpose over the full activation set."""
     prec = jax.lax.Precision.HIGHEST if f32_prec else None
     x = x_ref[0]
-    if os.environ.get("D3DP_MLP_FLAT", "") == "1":
-        # collapse the (tile, D) leading dims so the matmuls see one
-        # (tile*D, C) M dimension instead of a rank-3 contraction
-        D1_, D2_, C_ = x.shape
-        x2d = x.reshape(D1_ * D2_, C_)
-        h = jax.lax.dot_general(
-            x2d, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        h = _gelu_exact(h + b1_ref[:].astype(jnp.float32))
-        out = jax.lax.dot_general(
-            h.astype(x.dtype), w2_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        out = out.reshape(D1_, D2_, C_)
-    else:
-        h = jax.lax.dot_general(
-            x, w1_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        h = _gelu_exact(h + b1_ref[:].astype(jnp.float32))
-        out = jax.lax.dot_general(
-            h.astype(x.dtype), w2_ref[:],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
+    # collapse the (tile, D) leading dims so the matmuls see one (tile*D, C)
+    # M dimension instead of a rank-3 contraction — measured 9% faster
+    # end-to-end on v5e than the rank-3 form (PERFORMANCE.md r2 tile sweep)
+    D1_, D2_, C_ = x.shape
+    x2d = x.reshape(D1_ * D2_, C_)
+    h = jax.lax.dot_general(
+        x2d, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    h = _gelu_exact(h + b1_ref[:].astype(jnp.float32))
+    out = jax.lax.dot_general(
+        h.astype(x.dtype), w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    out = out.reshape(D1_, D2_, C_)
     s = res_ref[0].astype(jnp.float32) + out + b2_ref[:].astype(jnp.float32)
 
     mu = jnp.mean(s, axis=-1, keepdims=True)
@@ -159,10 +150,10 @@ def _mlp_block_t_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
             "D3DP_MLP_TILE_SP" if tile_first else "D3DP_MLP_TILE_TP", "")
         tile = int(v) if v else None
     if tile is None:
-        # ~512 tokens per tile, multiple of 8 (output-block sublane rule);
-        # 32 measured best in-graph on v5e at the flagship shapes
-        tile = max(8, min(32, (512 // (D2 if tile_first else D1)) // 8 * 8))
-        tile = min(tile, D1 if tile_first else D2)
+        # 128 frames/tile (~2k-token tiles) measured best in-graph on v5e
+        # with the flattened-M matmuls (r2 sweep: 24-tile 133.4 ms/fwd ->
+        # 128-tile 129.5 ms at the flagship eval shape)
+        tile = min(128, D1 if tile_first else D2)
     mem = pltpu.ANY if interpret else pltpu.VMEM
 
     if tile_first:
