@@ -370,9 +370,12 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
         acc_ref[:, :, hi * head_dim : (hi + 1) * head_dim] = o.astype(
             acc_ref.dtype)
 
+    # flattened (TB*N, C) M-dim for the out-projection — rank-3 contractions
+    # measured slower in Mosaic (same finding as the MLP kernel, r2 sweep)
     proj = jax.lax.dot_general(
-        acc_ref[:], wp_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
+        acc_ref[:].reshape(TB * N, C), wp_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec).reshape(TB, N, C)
     x2 = x_ref[:].astype(jnp.float32) + proj + bp_ref[:].astype(jnp.float32)
     x2_ref[:] = x2.astype(x2_ref.dtype)
 
