@@ -105,6 +105,36 @@ def test_model_grad_pallas_vs_xla(rng):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
 
 
+def test_mlp_tile_partial_blocks(rng):
+    """The 128-frame default MLP tile leaves a PARTIAL last block at the
+    243-frame flagship shape (cdiv grid) — pin correctness of the masked
+    tail in both layouts against the XLA reference math."""
+    from d3dp_tpu.ops.mlp import _mlp_block_t_fwd
+
+    C, H = 64, 128
+    for (B0, D1, D2) in [(2, 150, 5), (2, 5, 150)]:
+        x = jnp.asarray(rng.randn(B0, D1, D2, C), jnp.float32)
+        res = jnp.asarray(rng.randn(B0, D1, D2, C), jnp.float32)
+        w1 = jnp.asarray(rng.randn(C, H) * 0.05, jnp.float32)
+        b1 = jnp.asarray(rng.randn(H) * 0.01, jnp.float32)
+        w2 = jnp.asarray(rng.randn(H, C) * 0.05, jnp.float32)
+        b2 = jnp.asarray(rng.randn(C) * 0.01, jnp.float32)
+        s = jnp.asarray(rng.rand(C) + 0.5, jnp.float32)
+        b = jnp.asarray(rng.randn(C) * 0.1, jnp.float32)
+
+        got = _mlp_block_t_fwd(x, res, w1, b1, w2, b2, s, b, 1e-6, tile=128)
+
+        xf = x.astype(jnp.float32)
+        h = jax.nn.gelu(xf @ w1 + b1, approximate=False)
+        sfull = res + h @ w2 + b2
+        mu = sfull.mean(-1, keepdims=True)
+        var = jnp.square(sfull - mu).mean(-1, keepdims=True)
+        want = ((sfull - mu) * jax.lax.rsqrt(var + 1e-6)) * s + b
+        want = jnp.swapaxes(want, 1, 2)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 @pytest.mark.parametrize("lvl", [0, 2, 3, 4])
 def test_fuse_levels_agree(rng, lvl):
     """Every wired fusion level computes the same forward (fp32, vs the XLA
