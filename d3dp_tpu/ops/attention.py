@@ -342,6 +342,28 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
     qkv = qkv.reshape(TB, N, 3 * C)
 
     fold_div = (not f32_prec) and os.environ.get("D3DP_SOFTMAX_FOLD", "1") == "1"
+    _stage_heads_loop(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
+                      fold_div)
+
+    # flattened (TB*N, C) M-dim for the out-projection — rank-3 contractions
+    # measured slower in Mosaic (same finding as the MLP kernel, r2 sweep)
+    proj = jax.lax.dot_general(
+        acc_ref[:].reshape(TB * N, C), wp_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec).reshape(TB, N, C)
+    x2 = x_ref[:].astype(jnp.float32) + proj + bp_ref[:].astype(jnp.float32)
+    x2_ref[:] = x2.astype(x2_ref.dtype)
+
+    mu2 = jnp.mean(x2, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(x2 - mu2), axis=-1, keepdims=True)
+    y2 = (x2 - mu2) * jax.lax.rsqrt(var2 + eps)
+    y2 = y2 * ln2s_ref[:].astype(jnp.float32) + ln2b_ref[:].astype(
+        jnp.float32)
+    y2_ref[:] = y2.astype(y2_ref.dtype)
+
+
+def _stage_heads_loop(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
+                      fold_div):
     for hi in range(num_heads):
         q = qkv[:, :, hi * head_dim : (hi + 1) * head_dim]
         k = qkv[:, :, C + hi * head_dim : C + (hi + 1) * head_dim]
@@ -369,22 +391,6 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
                 preferred_element_type=jnp.float32, precision=prec)
         acc_ref[:, :, hi * head_dim : (hi + 1) * head_dim] = o.astype(
             acc_ref.dtype)
-
-    # flattened (TB*N, C) M-dim for the out-projection — rank-3 contractions
-    # measured slower in Mosaic (same finding as the MLP kernel, r2 sweep)
-    proj = jax.lax.dot_general(
-        acc_ref[:].reshape(TB * N, C), wp_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec).reshape(TB, N, C)
-    x2 = x_ref[:].astype(jnp.float32) + proj + bp_ref[:].astype(jnp.float32)
-    x2_ref[:] = x2.astype(x2_ref.dtype)
-
-    mu2 = jnp.mean(x2, axis=-1, keepdims=True)
-    var2 = jnp.mean(jnp.square(x2 - mu2), axis=-1, keepdims=True)
-    y2 = (x2 - mu2) * jax.lax.rsqrt(var2 + eps)
-    y2 = y2 * ln2s_ref[:].astype(jnp.float32) + ln2b_ref[:].astype(
-        jnp.float32)
-    y2_ref[:] = y2.astype(y2_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("num_heads", "scale", "eps", "interpret",
