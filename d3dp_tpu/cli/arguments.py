@@ -197,6 +197,10 @@ def parse_args(argv=None, in_the_wild=False):
     if args.export_training_curves and args.no_eval:
         parser.error("--export-training-curves and --no-eval cannot be set "
                      "at the same time")
+    if (args.num_hosts or args.host_id >= 0) and not args.coordinator_address:
+        parser.error("--num-hosts/--host-id require --coordinator-address "
+                     "(without it, jax.distributed auto-detects the topology "
+                     "and would silently ignore them)")
     return args
 
 

@@ -40,6 +40,10 @@ def _build_models(args, data):
         args.attention == "pallas"
         or (args.attention == "auto" and on_tpu and args.dtype == "bfloat16")
     ) else "xla"
+    if args.attention == "auto" and train_attn == "pallas":
+        print("INFO: --attention auto with --dtype bfloat16 on TPU selects "
+              "the Pallas training path (qualified in PERFORMANCE.md; pass "
+              "--attention xla to keep the XLA kernels).")
     mk_model = lambda dpr, impl="xla": MixSTEConfig(
         num_frames=args.number_of_frames,
         num_joints=data.num_joints,
@@ -111,8 +115,13 @@ def report_result(args, result, action=None):
         _print_and_log(f, "----------")
 
 
-def run_evaluation(args, data, d3dp_eval, params, key):
-    """Action-wise evaluation driver. (reference: main.py:901-1046)"""
+def run_evaluation(args, data, d3dp_eval, params, key, noise_provider=None):
+    """Action-wise evaluation driver. (reference: main.py:901-1046)
+
+    `noise_provider` (optional) is forwarded to Evaluator.evaluate for
+    deterministic replay of the reference's DDIM noise stream (the
+    whole-pipeline parity harness, tests/test_pipeline_parity.py).
+    """
     import jax
     from d3dp_tpu.data.generators import UnchunkedGenerator
     from d3dp_tpu.eval import Evaluator
@@ -166,9 +175,11 @@ def run_evaluation(args, data, d3dp_eval, params, key):
             ):
                 continue
             cams, p3, p2 = fetch_actions(actions_map[action_key])
+            # augment=False: flip TTA is fused inside the sampler
+            # (diffusion/d3dp.py ddim_sample_flip), not done by yielding a
+            # flipped duplicate sequence like the reference's set_augment path.
             gen = UnchunkedGenerator(
-                cams, p3, p2,
-                augment=args.test_time_augmentation,
+                cams, p3, p2, augment=False,
                 kps_left=data.kps_left, kps_right=data.kps_right,
                 joints_left=data.joints_left, joints_right=data.joints_right,
             )
@@ -177,7 +188,8 @@ def run_evaluation(args, data, d3dp_eval, params, key):
 
             action_key_int = zlib.crc32(action_key.encode()) % (2**31)
             result = evaluator.evaluate(
-                params, gen, jax.random.fold_in(key, action_key_int))
+                params, gen, jax.random.fold_in(key, action_key_int),
+                noise_provider=noise_provider)
             report_result(args, result, action_key)
             per_action[action_key] = result
 

@@ -27,9 +27,10 @@ def run_render(args, data, d3dp_eval, params, key):
         print("INFO: this action is unlabeled. Ground truth will not be rendered.")
 
     cams = [data.cameras[args.viz_subject][args.viz_camera]["intrinsic"]]
+    # augment=False: flip TTA is fused inside the sampler, not via a
+    # flipped-duplicate sequence from the generator.
     gen = UnchunkedGenerator(
-        cams, [ground_truth], [input_keypoints],
-        augment=args.test_time_augmentation,
+        cams, [ground_truth], [input_keypoints], augment=False,
         kps_left=data.kps_left, kps_right=data.kps_right,
         joints_left=data.joints_left, joints_right=data.joints_right,
     )

@@ -276,7 +276,11 @@ class UnchunkedGenerator:
         assert poses_3d is None or len(poses_3d) == len(poses_2d)
         assert cameras is None or len(cameras) == len(poses_2d)
 
-        self.augment = False
+        # Unlike the reference (common/generators.py:198 hard-codes
+        # self.augment = False and relies on set_augment), the constructor
+        # argument is honored here. Callers whose flip TTA is fused inside
+        # the sampler (the default eval path) must pass augment=False.
+        self.augment = bool(augment)
         self.kps_left = kps_left
         self.kps_right = kps_right
         self.joints_left = joints_left

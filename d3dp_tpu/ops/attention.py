@@ -111,7 +111,7 @@ def fused_attention_packed(q, k, v, num_heads, scale, interpret=None):
     spec = pl.BlockSpec(
         (tb, N, C),
         lambda i: (i, 0, 0),
-        memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+        memory_space=pl.ANY if interpret else pltpu.VMEM,
     )
     return pl.pallas_call(
         partial(_attn_kernel, scale=scale, num_heads=num_heads, head_dim=d),
@@ -190,7 +190,7 @@ def _fused_attention_qkv_bwd(qkv, dout, num_heads, scale, interpret=None,
         while B % tb:
             tb -= 1
 
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     in_spec = pl.BlockSpec((tb, N, C3), lambda i: (i, 0, 0), memory_space=mem)
     do_spec = pl.BlockSpec((tb, N, C), lambda i: (i, 0, 0), memory_space=mem)
     return pl.pallas_call(
@@ -281,7 +281,7 @@ def _attention_block_fwd(qkv, res, w, b, ln_scale, ln_bias, num_heads,
         while B % tb:
             tb -= 1
 
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     qkv_spec = pl.BlockSpec((tb, N, C3), lambda i: (i, 0, 0), memory_space=mem)
     row_spec = pl.BlockSpec((tb, N, C), lambda i: (i, 0, 0), memory_space=mem)
     w_spec = pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=mem)
@@ -409,7 +409,7 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
     while B % tb:
         tb -= 1
 
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     row_spec = pl.BlockSpec((tb, N, C), lambda i: (i, 0, 0), memory_space=mem)
     wq_spec = pl.BlockSpec((C, 3 * C), lambda i: (0, 0), memory_space=mem)
     wp_spec = pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=mem)
@@ -605,10 +605,10 @@ def fused_attention_qkv(qkv, num_heads, scale, interpret=None, tb=None):
 
     in_spec = pl.BlockSpec(
         (tb, N, C3), lambda i: (i, 0, 0),
-        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+        memory_space=pl.ANY if interpret else pltpu.VMEM)
     out_spec = pl.BlockSpec(
         (tb, N, C), lambda i: (i, 0, 0),
-        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+        memory_space=pl.ANY if interpret else pltpu.VMEM)
     return pl.pallas_call(
         partial(_attn_fused_qkv_kernel, scale=scale, num_heads=num_heads,
                 head_dim=d),

@@ -77,7 +77,7 @@ def _mlp_block_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
     if tr is None:
         v = os.environ.get("D3DP_MLP_TILE_ROWS", "")
         tr = min(R, int(v) if v else 512)
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     row_spec = pl.BlockSpec((tr, C), lambda i: (i, 0), memory_space=mem)
     w1_spec = pl.BlockSpec((C, H), lambda i: (0, 0), memory_space=mem)
     w2_spec = pl.BlockSpec((H, C), lambda i: (0, 0), memory_space=mem)
@@ -154,7 +154,7 @@ def _mlp_block_t_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
         # with the flattened-M matmuls (r2 sweep: 24-tile 133.4 ms/fwd ->
         # 128-tile 129.5 ms at the flagship eval shape)
         tile = min(128, D1 if tile_first else D2)
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
 
     if tile_first:
         grid = (B, pl.cdiv(D1, tile))

@@ -76,6 +76,11 @@ def save_checkpoint_orbax(directory, *, epoch, lr, params, opt_state=None,
     }
     if _async_checkpointer is None:
         _async_checkpointer = ocp.StandardCheckpointer()
+        # a pending async save left at interpreter exit would leave the
+        # directory incomplete — drain it before teardown
+        import atexit
+
+        atexit.register(wait_for_checkpoints)
     ckptr = _async_checkpointer
     ckptr.save(os.path.abspath(directory), payload, force=True)
     if wait:
