@@ -62,12 +62,15 @@ def prepare_h36m(args):
             if "positions" in anim:
                 positions_3d = []
                 for cam in anim["cameras"]:
-                    pos_3d = np.asarray(
+                    # np.array(copy=True): np.asarray of a jax array is a
+                    # read-only view; the root-split below mutates in place
+                    pos_3d = np.array(
                         world_to_camera(
                             jnp.asarray(anim["positions"]),
                             cam["orientation"],
                             cam["translation"],
-                        )
+                        ),
+                        copy=True,
                     )
                     pos_3d[:, 1:] -= pos_3d[:, :1]
                     positions_3d.append(pos_3d)

@@ -93,6 +93,8 @@ class Evaluator:
                 f"batch_size {batch_size} not divisible by dp={mesh.shape['dp']}")
             self._batch_sharding = batch_sharding(mesh)
         self._step = jax.jit(self._eval_step, static_argnames=("need_preds",))
+        self._step_noise = jax.jit(
+            self._eval_step_noise, static_argnames=("need_preds",))
 
     # ------------------------------------------------------------------
     def _eval_step(self, params, key, x2d, x2d_flip, x3d, traj, cam, weights,
@@ -103,6 +105,18 @@ class Evaluator:
         traj: (B,F,1,3), cam: (B,9), weights: (B,) 0/1.
         """
         preds = self.d3dp.sample(params, key, x2d, x2d_flip)  # (B,K,H,F,J,3)
+        return self._score(preds, x2d, x3d, traj, cam, weights, need_preds)
+
+    def _eval_step_noise(self, params, key, x2d, x2d_flip, x3d, traj, cam,
+                         weights, img0, noises, need_preds=False):
+        """Noise-injected variant of _eval_step: the DDIM draws are replaced
+        by (img0, noises) — used by the whole-pipeline parity harness to
+        replay the reference's exact torch RNG stream."""
+        preds = self.d3dp.sample(params, key, x2d, x2d_flip,
+                                 noise_override=(img0, noises))
+        return self._score(preds, x2d, x3d, traj, cam, weights, need_preds)
+
+    def _score(self, preds, x2d, x3d, traj, cam, weights, need_preds):
         preds = preds.at[..., 0, :].set(0.0)  # zero root (main.py:700)
 
         if self.light:
@@ -131,7 +145,8 @@ class Evaluator:
         return errors, None, None
 
     # ------------------------------------------------------------------
-    def evaluate(self, params, generator, key, return_predictions=False):
+    def evaluate(self, params, generator, key, return_predictions=False,
+                 noise_provider=None):
         """Run the full eval loop over an UnchunkedGenerator.
 
         Returns EvalResult — or, with return_predictions, the raw
@@ -139,6 +154,12 @@ class Evaluator:
         sequence (the reference's --render path returns only the first
         micro-batch, main.py:702-703, leaving garbage frames when a sequence
         has more windows than the batch size).
+
+        `noise_provider(n)` (optional): called once per micro-batch with the
+        number of REAL (unpadded) windows; must return (img0, step_noises)
+        of shapes (n,H,F,J,3) and (K,n,H,F,J,3) which replace the sampler's
+        random draws (pad rows get zeros — their outputs carry weight 0).
+        Used to replay the reference's torch RNG stream end-to-end.
         """
         result = EvalResult()
         rf, bs = self.rf, self.bs
@@ -193,10 +214,24 @@ class Evaluator:
                 cams = put(np.tile(cam_vec, (bs, 1)))
 
                 key, sub = jax.random.split(key)
-                errors, preds, _ = self._step(
-                    params, sub, take(w2d), take(w2d_f), take(w3d),
-                    take(traj), cams, weights, need_preds=(self.p2 or return_predictions),
-                )
+                need_preds = self.p2 or return_predictions
+                if noise_provider is None:
+                    errors, preds, _ = self._step(
+                        params, sub, take(w2d), take(w2d_f), take(w3d),
+                        take(traj), cams, weights, need_preds=need_preds,
+                    )
+                else:
+                    img0, step_noises = noise_provider(n)
+                    if pad:
+                        z = ((0, pad),) + ((0, 0),) * (img0.ndim - 1)
+                        img0 = np.pad(img0, z)
+                        step_noises = np.pad(step_noises, ((0, 0),) + z)
+                    assert img0.shape[0] == bs and step_noises.shape[1] == bs
+                    errors, preds, _ = self._step_noise(
+                        params, sub, take(w2d), take(w2d_f), take(w3d),
+                        take(traj), cams, weights, put(img0),
+                        put(step_noises), need_preds=need_preds,
+                    )
                 if return_predictions:
                     # collect ALL windows of the first sequence (the
                     # reference returns only the first micro-batch,
