@@ -9,6 +9,7 @@ TPU path.
 
 import os
 import subprocess as sp
+import warnings
 
 import numpy as np
 import matplotlib
@@ -227,7 +228,11 @@ def render_animation(keypoints, keypoints_metadata, poses, skeleton, fps,
                     ln.set_ydata([pose[j, 1], pose[p, 1]])
                     ln.set_3d_properties([pose[j, 2], pose[p, 2]], zdir="z")
 
-    fig.tight_layout()
+    with warnings.catch_warnings():
+        # 3D axes reject tight_layout with a UserWarning; the reference uses
+        # the same call and accepts the default layout there too
+        warnings.simplefilter("ignore", UserWarning)
+        fig.tight_layout()
     anim = FuncAnimation(
         fig, update_video, frames=np.arange(0, n_frames),
         interval=1000 / fps, repeat=False)
@@ -295,7 +300,11 @@ def _save_hypothesis_figure(path, hyp_poses, extra, skeleton, azim, radius=1.7):
     for label, (pose, color) in (extra or {}).items():
         _plot_pose_3d(ax, pose, skeleton, color_right=color, color_left=color,
                       alpha=1.0, lw=2)
-    fig.tight_layout()
+    with warnings.catch_warnings():
+        # 3D axes reject tight_layout with a UserWarning; the reference uses
+        # the same call and accepts the default layout there too
+        warnings.simplefilter("ignore", UserWarning)
+        fig.tight_layout()
     fig.savefig(path, dpi=100)
     plt.close(fig)
 
@@ -344,32 +353,114 @@ def draw_3d_image_select(pred_all, gt_all, skeleton, azim, sub, act, cam,
             skeleton, azim)
 
 
+def _azim_frame_figure(pred_khj, gt_j, skeleton, azim, t, joint_overlays=None):
+    """One azimuth-view figure in the reference's style: root-centred
+    millimetre coordinates, fixed 1000/1500 mm axis radii, elev 15, every
+    hypothesis of timestep `t` dashed + GT in blue. `joint_overlays`
+    optionally adds per-joint (select_idx, min_idx) scatter + index labels.
+    (reference: common/visualization.py:349-400, :430-470)"""
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    xy_radius, radius = 1000.0, 1500.0
+    ax.view_init(elev=15.0, azim=azim)
+    ax.set_xlim3d([-xy_radius / 2, xy_radius / 2])
+    ax.set_zlim3d([-radius / 2, radius / 2])
+    ax.set_ylim3d([-xy_radius / 2, xy_radius / 2])
+    ax.set_xticklabels([])
+    ax.set_yticklabels([])
+    ax.set_zticklabels([])
+    ax.set_title("timestep %d" % t)
+
+    pred_t = pred_khj[t]  # (H, J, 3), mm, root-centred
+    if joint_overlays is not None:
+        sel_t, min_t = joint_overlays  # each (J,) hypothesis indices
+        for jj in range(pred_t.shape[1]):
+            si, mi = int(sel_t[jj]), int(min_t[jj])
+            ax.scatter(pred_t[si, jj, 0], pred_t[si, jj, 1],
+                       pred_t[si, jj, 2], s=0.5, c="g", zorder=10)
+            ax.scatter(pred_t[mi, jj, 0], pred_t[mi, jj, 1],
+                       pred_t[mi, jj, 2], s=2, c="r", zorder=4)
+            ax.text(x=pred_t[mi, jj, 0] + 10, y=pred_t[mi, jj, 1],
+                    z=pred_t[mi, jj, 2] + 20, s=str(mi), color="r",
+                    fontsize=3)
+            ax.text(x=pred_t[si, jj, 0] - 10, y=pred_t[si, jj, 1],
+                    z=pred_t[si, jj, 2] + 20, s=str(si), color="g",
+                    fontsize=3)
+
+    for j, j_parent in enumerate(skeleton.parents()):
+        if j_parent == -1:
+            continue
+        for h in range(pred_t.shape[0]):
+            ax.plot([pred_t[h, j, 0], pred_t[h, j_parent, 0]],
+                    [pred_t[h, j, 1], pred_t[h, j_parent, 1]],
+                    [pred_t[h, j, 2], pred_t[h, j_parent, 2]],
+                    zdir="z", linestyle="--", linewidth=0.5)
+        ax.plot([gt_j[j, 0], gt_j[j_parent, 0]],
+                [gt_j[j, 1], gt_j[j_parent, 1]],
+                [gt_j[j, 2], gt_j[j_parent, 2]],
+                zdir="z", c="blue", linewidth=0.9)
+    return fig
+
+
+def _azim_centred_mm(pred_all, gt_all, frame):
+    """Root-centred mm poses of one video frame: ((K,H,J,3), (J,3))."""
+    pred = np.asarray(pred_all[:, :, frame], dtype=np.float64)
+    gt = np.asarray(gt_all[frame], dtype=np.float64)
+    pred = (pred - pred[:, :, 0:1]) * 1000.0
+    gt = (gt - gt[0:1]) * 1000.0
+    return pred, gt
+
+
 def draw_3d_image_azim(pred_all, gt_all, skeleton, azim, sub, act, cam,
-                       azim_off=0, out_dir="./plot"):
-    """Azimuth-swept variant. (reference: visualization.py:327-400)"""
-    return draw_3d_image(pred_all, gt_all, skeleton, azim + azim_off, sub,
-                         act, cam, out_dir=out_dir)
+                       azim_off=0, out_dir="./plot/h36m", frame_stride=4):
+    """Per-frame 3D renders at view azimuth `azim + azim_off` — calling with
+    a range of azim_off values produces the reference's azimuth sweep.
+    Renders every `frame_stride`-th video frame at the FINAL diffusion
+    timestep only. pred_all: (K,H,T,J,3) metres; gt_all: (T,J,3).
+    (reference: common/visualization.py:327-400)"""
+    os.makedirs(out_dir, exist_ok=True)
+    K = pred_all.shape[0]
+    for frame in range(gt_all.shape[0]):
+        if frame % frame_stride != 0:
+            continue
+        pred, gt = _azim_centred_mm(pred_all, gt_all, frame)
+        t = K - 1
+        fig = _azim_frame_figure(pred, gt, skeleton, azim + azim_off, t)
+        fig.savefig(
+            os.path.join(out_dir, "%s_%s_%d_frame%d_t%d_azim%d.png"
+                         % (sub, act, cam, frame, t, azim_off)),
+            bbox_inches="tight", pad_inches=0.0, dpi=300)
+        plt.close(fig)
 
 
 def draw_3d_image_azim_ind(pred_all, gt_all, skeleton, azim, sub, act, cam,
                            azim_off=0, select_ind=None, min_ind=None,
-                           out_dir="./plot"):
-    """Azimuth-swept with explicit hypothesis selections.
-    (reference: visualization.py:402-484)"""
-    out = os.path.join(out_dir, f"{sub}_{act}_{cam}_azim")
-    os.makedirs(out, exist_ok=True)
-    K, H, T = pred_all.shape[:3]
-    for t in range(T):
-        extra = {"GT": (gt_all[t], "blue")}
-        if select_ind is not None:
-            jpma = np.take_along_axis(
-                pred_all[-1, :, t], select_ind[t][None, :, None], axis=0)[0]
-            extra["JPMA"] = (jpma, "red")
-        if min_ind is not None:
-            best = np.take_along_axis(
-                pred_all[-1, :, t], min_ind[t][None, :, None], axis=0)[0]
-            extra["Best"] = (best, "green")
-        _save_hypothesis_figure(
-            os.path.join(out, f"frame_{t:04d}.png"),
-            [pred_all[-1, h, t] for h in range(H)],
-            extra, skeleton, azim + azim_off)
+                           out_dir="./plot/h36m", frame_stride=10,
+                           timestep_stride=2):
+    """Azimuth view with explicit per-joint hypothesis selections: for every
+    `frame_stride`-th frame and every `timestep_stride`-th diffusion
+    timestep, scatter the JPMA-selected (green) and oracle-best (red)
+    hypothesis per joint, labeled with their hypothesis indices.
+    select_ind/min_ind: (K, T, J) [or (K, 1, T, J)] int hypothesis indices.
+    (reference: common/visualization.py:402-484)"""
+    os.makedirs(out_dir, exist_ok=True)
+    K = pred_all.shape[0]
+    select_ind = np.asarray(select_ind)
+    min_ind = np.asarray(min_ind)
+    if select_ind.ndim == 4:  # reference layout (K, B=1, T, J)
+        select_ind = select_ind[:, 0]
+    if min_ind.ndim == 4:
+        min_ind = min_ind[:, 0]
+    for frame in range(gt_all.shape[0]):
+        if frame % frame_stride != 0:
+            continue
+        pred, gt = _azim_centred_mm(pred_all, gt_all, frame)
+        for t in range(0, K, timestep_stride):
+            fig = _azim_frame_figure(
+                pred, gt, skeleton, azim + azim_off, t,
+                joint_overlays=(select_ind[t, frame], min_ind[t, frame]))
+            fig.savefig(
+                os.path.join(out_dir, "%s_%s_%d_frame%d_t%d_azim%d.png"
+                             % (sub, act, cam, frame, t, azim_off)),
+                bbox_inches="tight", pad_inches=0.0, dpi=300)
+            plt.close(fig)
