@@ -39,6 +39,10 @@ def parse_args():
                    help="measure with DDIM feature reuse at this refresh "
                         "interval (0 = off, the canonical driver number)")
     p.add_argument("--ddim-reuse-tap", type=int, default=2)
+    p.add_argument("--fuse-level", type=int, default=4,
+                   choices=[0, 1, 2, 3, 4],
+                   help="Pallas kernel-fusion ladder level (see "
+                        "d3dp_tpu/models/mixste.py MixSTEConfig)")
     p.add_argument("--dp", type=int, default=0,
                    help="scaling mode: shard the sampler over a dp-way mesh "
                         "of N VIRTUAL CPU devices and report relative "
@@ -96,6 +100,7 @@ def main(opts=None):
                 depth=8,
                 dtype=jnp.bfloat16,  # fast path; fp32 parity is tested in CI
                 attention_impl="pallas",  # fused VMEM-resident attention
+                fuse_level=opts.fuse_level,
             ),
             num_proposals=H,
             sampling_timesteps=K,

@@ -125,6 +125,16 @@ def build_parser(in_the_wild=False):
                              "qualified ~4.3x fast path; PERFORMANCE.md). "
                              "fp32 training stays on the xla parity path "
                              "unless 'pallas' is passed explicitly.")
+    parser.add_argument("--fuse-level", type=int, default=4,
+                        choices=[0, 1, 2, 3, 4],
+                        help="Pallas-path kernel fusion ladder (tuning knob; "
+                             "each level measured faster in-graph on v5e — "
+                             "lower levels are the fallback for other TPU "
+                             "generations): 0 = fused attention only, "
+                             "2 = +attention/MLP stage kernels, 3 = "
+                             "+transpose-free flow, 4 = +LN1/qkv folded in "
+                             "(two kernels per block). Ignored with "
+                             "--attention xla.")
     parser.add_argument("--ddim-reuse", type=int, default=0, metavar="N",
                         help="DDIM feature reuse (FRDiff-style): refresh the "
                              "deep transformer blocks every N sampling steps "

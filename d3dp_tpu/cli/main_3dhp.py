@@ -42,7 +42,7 @@ def _build_models(args):
     mk_model = lambda dpr, impl="xla": MixSTEConfig(
         num_frames=args.number_of_frames, embed_dim=args.cs, depth=args.dep,
         drop_rate=args.dropout, drop_path_rate=dpr, dtype=dtype,
-        attention_impl=impl)
+        attention_impl=impl, fuse_level=args.fuse_level)
     common = dict(
         timesteps=args.timestep, scale=args.scale,
         joints_left=tuple(KPS_LEFT), joints_right=tuple(KPS_RIGHT),

@@ -53,6 +53,7 @@ def _build_models(args, data):
         drop_path_rate=dpr,
         dtype=dtype,
         attention_impl=impl,
+        fuse_level=args.fuse_level,
     )
     common = dict(
         timesteps=args.timestep,
