@@ -317,9 +317,20 @@ def _interpret_default():
     return jax.devices()[0].platform != "tpu"
 
 
+def _stage_variant():
+    """Experimental attention-stage variants (kernel-lab; see
+    PERFORMANCE.md): '' = production per-head loop; 'bf16exp' = softmax
+    exp/sum in bf16 (bf16 path only; halves the VPU softmax traffic);
+    'batched' = head-major (h*TB, N, d) scratch built by lane-slice copies
+    + ONE batched dot_general over all heads (the leading-dim fold Mosaic
+    may accept, unlike the rejected (TB,N,h,d)->(TB*h,N,d) transpose
+    relayout — needs small TB: logits are (h*TB, N, N) fp32 in VMEM)."""
+    return os.environ.get("D3DP_ATTN_VARIANT", "")
+
+
 def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
                        ln1b_ref, ln2s_ref, ln2b_ref, x2_ref, y2_ref, acc_ref,
-                       *, scale, num_heads, head_dim, eps, f32_prec):
+                       *args, scale, num_heads, head_dim, eps, f32_prec):
     """The ENTIRE pre-LN attention stage in one VMEM pass:
     LN1 -> qkv projection -> attention -> out-projection -> residual ->
     LN2. Reads the residual stream once (3 activation passes of HBM traffic
@@ -342,8 +353,15 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
     qkv = qkv.reshape(TB, N, 3 * C)
 
     fold_div = (not f32_prec) and os.environ.get("D3DP_SOFTMAX_FOLD", "1") == "1"
-    _stage_heads_loop(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
-                      fold_div)
+    variant = _stage_variant()
+    if variant == "batched":
+        qs_ref, ks_ref, vs_ref = args
+        _stage_heads_batched(qkv, acc_ref, qs_ref, ks_ref, vs_ref, num_heads,
+                             head_dim, C, scale, prec, fold_div, TB, N)
+    else:
+        _stage_heads_loop(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
+                          fold_div, bf16_exp=(variant == "bf16exp"
+                                              and not f32_prec))
 
     # flattened (TB*N, C) M-dim for the out-projection — rank-3 contractions
     # measured slower in Mosaic (same finding as the MLP kernel, r2 sweep)
@@ -363,7 +381,7 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
 
 
 def _stage_heads_loop(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
-                      fold_div):
+                      fold_div, bf16_exp=False):
     for hi in range(num_heads):
         q = qkv[:, :, hi * head_dim : (hi + 1) * head_dim]
         k = qkv[:, :, C + hi * head_dim : C + (hi + 1) * head_dim]
@@ -372,8 +390,14 @@ def _stage_heads_loop(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=prec) * scale
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
+        if bf16_exp:
+            # experimental: exp over bf16 logits (max still fp32-stable);
+            # halves the dominant VPU softmax traffic on the bf16 path
+            p = jnp.exp((s - m).astype(jnp.bfloat16))
+            l = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+        else:
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
         if fold_div:
             # fold the softmax normaliser into the (N, d) output instead of
             # dividing the (N, N) probabilities: ~N/d fewer VPU divisions.
@@ -391,6 +415,41 @@ def _stage_heads_loop(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
                 preferred_element_type=jnp.float32, precision=prec)
         acc_ref[:, :, hi * head_dim : (hi + 1) * head_dim] = o.astype(
             acc_ref.dtype)
+
+
+def _stage_heads_batched(qkv, acc_ref, qs_ref, ks_ref, vs_ref, num_heads,
+                         head_dim, C, scale, prec, fold_div, TB, N):
+    """All heads in ONE batched dot_general pair: per-head lane slices are
+    copied into head-major (h*TB, N, d) scratch (a lane-shift copy, not the
+    transpose relayout Mosaic rejects), the (h*TB)-batched contractions run
+    as single ops, and the outputs are copied back to the packed lanes."""
+    for hi in range(num_heads):
+        rows = slice(hi * TB, (hi + 1) * TB)
+        qs_ref[rows] = qkv[:, :, hi * head_dim : (hi + 1) * head_dim]
+        ks_ref[rows] = qkv[:, :, C + hi * head_dim : C + (hi + 1) * head_dim]
+        vs_ref[rows] = qkv[:, :, 2 * C + hi * head_dim
+                           : 2 * C + (hi + 1) * head_dim]
+    s = jax.lax.dot_general(
+        qs_ref[:], ks_ref[:], dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if fold_div:
+        o = jax.lax.dot_general(
+            p.astype(vs_ref.dtype), vs_ref[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+        o = o * (1.0 / l)
+    else:
+        a = (p / l).astype(vs_ref.dtype)
+        o = jax.lax.dot_general(
+            a, vs_ref[:], dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+    o = o.astype(acc_ref.dtype)
+    for hi in range(num_heads):
+        acc_ref[:, :, hi * head_dim : (hi + 1) * head_dim] = (
+            o[hi * TB : (hi + 1) * TB])
 
 
 @partial(jax.jit, static_argnames=("num_heads", "scale", "eps", "interpret",
@@ -427,7 +486,9 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
         in_specs=[row_spec, wq_spec, v3_spec, wp_spec, vc_spec, vc_spec,
                   vc_spec, vc_spec, vc_spec],
         out_specs=(row_spec, row_spec),
-        scratch_shapes=[pltpu.VMEM((tb, N, C), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((tb, N, C), x.dtype)] + (
+            [pltpu.VMEM((num_heads * tb, N, d), x.dtype)] * 3
+            if _stage_variant() == "batched" else []),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

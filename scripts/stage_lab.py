@@ -1,0 +1,89 @@
+"""Time ONE attention-stage kernel in isolation on the real chip.
+
+The r2 profile puts the 16 attention-stage kernels at 81 of 147 ms/fwd,
+~2.6x above roofline; this lab measures candidate variants without paying a
+full-model compile. One process = one (stage, variant, tile) cell — the
+variant switch (D3DP_ATTN_VARIANT) is trace-time state.
+
+Usage (each row of the sweep, fresh process):
+  python scripts/stage_lab.py --stage temporal [--tb 8] [--iters 30]
+  D3DP_ATTN_VARIANT=bf16exp python scripts/stage_lab.py --stage temporal
+  D3DP_ATTN_VARIANT=batched python scripts/stage_lab.py --stage temporal --tb 2
+
+Shapes are the bench-config eval shapes (B=4 windows, H=5, flip TTA ->
+40 folded rows): temporal (40*17, 243, 512); spatial (40*243, 17, 512).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", choices=["temporal", "spatial"],
+                   default="temporal")
+    p.add_argument("--tb", type=int, default=0, help="batch tile override")
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--rows", type=int, default=0,
+                   help="override row count (default: bench eval shape)")
+    opts = p.parse_args()
+
+    from d3dp_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from d3dp_tpu.ops.attention import _attention_stage_fwd
+
+    C, h = 512, 8
+    if opts.stage == "temporal":
+        B, N = opts.rows or 40 * 17, 243
+    else:
+        B, N = opts.rows or 40 * 243, 17
+    dt = jnp.bfloat16 if opts.dtype == "bfloat16" else jnp.float32
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, N, C) * 0.5, dt)
+    wqkv = jnp.asarray(rng.randn(C, 3 * C) * 0.04, dt)
+    bqkv = jnp.asarray(rng.randn(3 * C) * 0.01, dt)
+    wp = jnp.asarray(rng.randn(C, C) * 0.04, dt)
+    bp = jnp.asarray(rng.randn(C) * 0.01, dt)
+    ones, zeros = jnp.ones((C,), dt), jnp.zeros((C,), dt)
+
+    tb = opts.tb or None
+    fn = lambda xx: _attention_stage_fwd(
+        xx, wqkv, bqkv, wp, bp, ones, zeros, ones, zeros, h, 0.125, 1e-6,
+        tb=tb)
+
+    t0 = time.perf_counter()
+    x2, y2 = fn(x)
+    _ = float(jnp.sum(x2)) + float(jnp.sum(y2))  # compile + sync
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _i in range(opts.iters):
+        x2, y2 = fn(x)
+    _ = float(jnp.sum(x2))  # sync (block_until_ready unreliable via tunnel)
+    dt_ms = (time.perf_counter() - t0) / opts.iters * 1e3
+
+    print(json.dumps({
+        "stage": opts.stage, "rows": B, "N": N,
+        "variant": os.environ.get("D3DP_ATTN_VARIANT", "") or "default",
+        "tb": opts.tb or "auto", "dtype": opts.dtype,
+        "ms_per_call": round(dt_ms, 3),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

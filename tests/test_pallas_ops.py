@@ -151,3 +151,42 @@ def test_fuse_levels_agree(rng, lvl):
     expected = np.asarray(mk("xla", 0).apply(params, x2d, x3d, t))
     got = np.asarray(mk("pallas", lvl).apply(params, x2d, x3d, t))
     np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["bf16exp", "batched"])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_stage_kernel_variants_agree(rng, variant, dtype, monkeypatch):
+    """Kernel-lab attention-stage variants (D3DP_ATTN_VARIANT) match the
+    production per-head loop in interpret mode. bf16exp only reorders the
+    bf16 softmax rounding, so it gets a loose bf16 tolerance; `batched`
+    computes identical math through head-major scratch."""
+    from d3dp_tpu.ops import attention as A
+
+    if variant == "bf16exp" and dtype == "float32":
+        pytest.skip("bf16exp only engages on the bf16 path")
+    dt = jnp.float32 if dtype == "float32" else jnp.bfloat16
+    B, N, C, h = 4, 9, 64, 4
+    x = jnp.asarray(rng.randn(B, N, C) * 0.5, dt)
+    wqkv = jnp.asarray(rng.randn(C, 3 * C) * 0.1, dt)
+    bqkv = jnp.asarray(rng.randn(3 * C) * 0.01, dt)
+    wp = jnp.asarray(rng.randn(C, C) * 0.1, dt)
+    bp = jnp.asarray(rng.randn(C) * 0.01, dt)
+    s1, b1 = jnp.ones((C,), dt), jnp.zeros((C,), dt)
+    s2, b2 = jnp.ones((C,), dt), jnp.zeros((C,), dt)
+    arg = (x, wqkv, bqkv, wp, bp, s1, b1, s2, b2, h, 0.125, 1e-6)
+
+    def run():
+        A._attention_stage_fwd.clear_cache()  # env is trace-time state
+        x2, y2 = A._attention_stage_fwd(*arg, tb=2)
+        return np.asarray(x2, np.float32), np.asarray(y2, np.float32)
+
+    monkeypatch.delenv("D3DP_ATTN_VARIANT", raising=False)
+    base_x2, base_y2 = run()
+    monkeypatch.setenv("D3DP_ATTN_VARIANT", variant)
+    var_x2, var_y2 = run()
+    monkeypatch.delenv("D3DP_ATTN_VARIANT", raising=False)
+    A._attention_stage_fwd.clear_cache()
+
+    atol = 0.0 if (variant == "batched" and dtype == "float32") else 5e-2
+    np.testing.assert_allclose(var_x2, base_x2, atol=atol)
+    np.testing.assert_allclose(var_y2, base_y2, atol=atol)
