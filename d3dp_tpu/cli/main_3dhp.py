@@ -204,7 +204,7 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer=None):
     return state
 
 
-def run_evaluation(args, data, d3dp_eval, params, key):
+def run_evaluation(args, data, d3dp_eval, params, key, noise_provider=None):
     from d3dp_tpu.data.generators import UnchunkedGenerator
     from d3dp_tpu.eval.evaluator_3dhp import Evaluator3DHP
 
@@ -220,7 +220,8 @@ def run_evaluation(args, data, d3dp_eval, params, key):
         d3dp_eval, receptive_field=args.number_of_frames,
         batch_size=args.eval_batch_size or 2, quickdebug=args.debug)
     results, exports = evaluator.evaluate(
-        params, test_generator, key, export_dir=args.checkpoint)
+        params, test_generator, key, export_dir=args.checkpoint,
+        noise_provider=noise_provider)
 
     log_path = os.path.join(
         args.checkpoint,

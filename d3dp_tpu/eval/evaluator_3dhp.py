@@ -58,16 +58,30 @@ class Evaluator3DHP:
             self._batch_sharding = batch_sharding(mesh)
         self._step = jax.jit(
             self._eval_step, static_argnames=("distortion", "width", "height"))
+        self._step_noise = jax.jit(
+            self._eval_step_noise,
+            static_argnames=("distortion", "width", "height"))
+
+    def _eval_step_noise(self, params, key, x2d, x2d_flip, x3d, traj, valid,
+                         win_weights, cam, img0, noises,
+                         distortion=False, width=2048, height=2048):
+        """Noise-injected _eval_step (whole-pipeline parity harness)."""
+        return self._eval_step(
+            params, key, x2d, x2d_flip, x3d, traj, valid, win_weights, cam,
+            distortion=distortion, width=width, height=height,
+            noise_override=(img0, noises))
 
     def _eval_step(self, params, key, x2d, x2d_flip, x3d, traj, valid,
                    win_weights, cam,
-                   distortion=False, width=2048, height=2048):
+                   distortion=False, width=2048, height=2048,
+                   noise_override=None):
         """One micro-batch. x3d root(14)-zeroed target in mm; traj (B,F,1,3);
         valid (B,F) 0/1 incl. padded-window zeros; cam (9,) pixel intrinsics.
         Returns masked (K,) P_Best/P_Agg errors + the 4 selected pose stacks
         (B,K,F,J,3). (main_3dhp.py:772-860)
         """
-        preds = self.d3dp.sample(params, key, x2d, x2d_flip)  # (B,K,H,F,J,3) mm
+        preds = self.d3dp.sample(params, key, x2d, x2d_flip,
+                                 noise_override=noise_override)  # (B,K,H,F,J,3) mm
         preds = preds.at[..., ROOT_JOINT, :].set(0.0)
 
         B, K, H, F, J, _ = preds.shape
@@ -92,13 +106,17 @@ class Evaluator3DHP:
         }
         return errors, selections
 
-    def evaluate(self, params, generator, key, export_dir=None):
+    def evaluate(self, params, generator, key, export_dir=None,
+                 noise_provider=None):
         """Full loop over an UnchunkedGenerator with valid_frames/keys.
 
         Returns (per-mode (K,) cumulative masked errors in mm,
         {mode: {TS: (3,J,Ftot,K)}} exports). Writes the four
         inference_data_<mode>.mat when export_dir is given
         (main_3dhp.py:903-912).
+
+        `noise_provider(n)` (optional): per micro-batch noise replay — see
+        Evaluator.evaluate; used by tests/test_pipeline_parity_3dhp.py.
         """
         sums = {"P_Best": 0.0, "P_Agg": 0.0}
         N = 0
@@ -152,11 +170,23 @@ class Evaluator3DHP:
                 win_w = np.concatenate(
                     [np.ones(n, np.float32), np.zeros(pad, np.float32)])
                 key, sub = jax.random.split(key)
-                errors, selections = self._step(
-                    params, sub, take(w2d), take(w2d_f), take(w3d),
-                    take(traj), put(v.astype(np.float32)), put(win_w),
-                    jnp.asarray(cam),
-                    distortion=distortion, width=width, height=height)
+                if noise_provider is None:
+                    errors, selections = self._step(
+                        params, sub, take(w2d), take(w2d_f), take(w3d),
+                        take(traj), put(v.astype(np.float32)), put(win_w),
+                        jnp.asarray(cam),
+                        distortion=distortion, width=width, height=height)
+                else:
+                    img0, step_noises = noise_provider(n)
+                    if pad:
+                        z = ((0, pad),) + ((0, 0),) * (img0.ndim - 1)
+                        img0 = np.pad(img0, z)
+                        step_noises = np.pad(step_noises, ((0, 0),) + z)
+                    errors, selections = self._step_noise(
+                        params, sub, take(w2d), take(w2d_f), take(w3d),
+                        take(traj), put(v.astype(np.float32)), put(win_w),
+                        jnp.asarray(cam), put(img0), put(step_noises),
+                        distortion=distortion, width=width, height=height)
 
                 weight = n * self.rf
                 for m in ("P_Best", "P_Agg"):
