@@ -1,0 +1,52 @@
+#!/bin/bash
+# Round-3 TPU measurement plan — run cells individually in FOREGROUND shells
+# (the tunnel is unreachable from background processes; see CLAUDE.md).
+# Each stage_lab cell is a fresh process because D3DP_ATTN_VARIANT is
+# trace-time state. The persistent compile cache makes re-runs cheap.
+#
+#   bash scripts/r3_tpu_sweep.sh probe     # tunnel health check
+#   bash scripts/r3_tpu_sweep.sh stages    # stage-kernel variant sweep
+#   bash scripts/r3_tpu_sweep.sh tiles     # unfinished tb=10/20 cells
+#   bash scripts/r3_tpu_sweep.sh bench     # canonical bench.py number
+#   bash scripts/r3_tpu_sweep.sh reuse     # DDIM-reuse accuracy sweep
+set -u
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$HOME/.cache/d3dp_tpu/jax}"
+
+case "${1:-probe}" in
+probe)
+  timeout 120 python -c "
+import time, jax, jax.numpy as jnp
+t0=time.time(); print(jax.devices(), round(time.time()-t0,1))
+t0=time.time(); print(float(jnp.sum(jnp.ones((1000,1000)))), round(time.time()-t0,2),'s')"
+  ;;
+stages)
+  for stage in temporal spatial; do
+    echo "== $stage default =="
+    timeout 580 python scripts/stage_lab.py --stage $stage
+    echo "== $stage bf16exp =="
+    D3DP_ATTN_VARIANT=bf16exp timeout 580 python scripts/stage_lab.py --stage $stage
+    echo "== $stage batched (small tb: (h*TB,N,N) logits live in VMEM) =="
+    D3DP_ATTN_VARIANT=batched timeout 580 python scripts/stage_lab.py --stage $stage --tb 2
+    D3DP_ATTN_VARIANT=batched timeout 580 python scripts/stage_lab.py --stage $stage --tb 4
+  done
+  ;;
+tiles)
+  # the r2 sweep's unmeasurable cells (Mosaic compile >10 min through the
+  # tunnel): warm the cache patiently, one cell per invocation
+  for tb in 10 20; do
+    echo "== temporal tb=$tb =="
+    timeout 580 python scripts/stage_lab.py --stage temporal --tb $tb ||
+      echo "tb=$tb: compile exceeded window — re-run to continue from cache"
+  done
+  ;;
+bench)
+  timeout 580 python bench.py
+  ;;
+reuse)
+  timeout 580 python scripts/quantify_reuse.py --ckpt /tmp/qual_fp32/best_epoch.ckpt \
+    --out /tmp/reuse_quant.json
+  ;;
+*)
+  echo "unknown cell: $1"; exit 1;;
+esac
