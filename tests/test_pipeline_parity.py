@@ -132,6 +132,15 @@ def _build_fixture(root):
         )
 
 
+def _purge_reference_modules():
+    """The reference keeps module-level state (e.g. the h36m_skeleton object
+    that Human36mDataset.remove_joints MUTATES in place) — re-running its
+    entry scripts in one process needs fresh 'common.*' modules."""
+    for name in [m for m in sys.modules if m == "common"
+                 or m.startswith("common.")]:
+        del sys.modules[name]
+
+
 class _Chdir:
     def __init__(self, path):
         self.path = path
@@ -174,6 +183,7 @@ def _run_reference(root):
         "-b", str(BS), "--p2", "-gpu", "",
     ]
     old_argv = sys.argv
+    _purge_reference_modules()
     torch.randn, torch.randn_like = randn_rec, randn_like_rec
     try:
         sys.argv = argv

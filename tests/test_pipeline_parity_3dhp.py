@@ -24,7 +24,8 @@ from tests.reference_oracle import (
     import_reference,
     REFERENCE_PATH,
 )
-from tests.test_pipeline_parity import _Chdir, _build_fixture
+from tests.test_pipeline_parity import (
+    _Chdir, _build_fixture, _purge_reference_modules)
 
 needs_ref = pytest.mark.skipif(
     not reference_available(), reason="reference tree not mounted"
@@ -113,6 +114,7 @@ def _run_reference(root):
         "-gpu", "",
     ]
     old_argv = sys.argv
+    _purge_reference_modules()
     torch.randn, torch.randn_like = randn_rec, randn_like_rec
     try:
         sys.argv = argv
