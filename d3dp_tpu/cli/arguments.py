@@ -140,8 +140,10 @@ def build_parser(in_the_wild=False):
                              "deep transformer blocks every N sampling steps "
                              "and reuse their cached contribution in between "
                              "(0/1 = off, exact reference semantics). "
-                             "Approximate: trades accuracy for sampling "
-                             "throughput; eval only.")
+                             "Measured (PERFORMANCE.md r3): N=2 costs "
+                             "+0.2-0.5mm for 1.2-1.36x; N>=3 DIVERGES at "
+                             "small K — use 2, or pair N>=3 with "
+                             "--ddim-reuse-adaptive. Eval only.")
     parser.add_argument("--ddim-reuse-tap", type=int, default=2, metavar="D",
                         help="with --ddim-reuse: number of shallow block "
                              "pairs computed fresh on reuse steps (1..dep)")

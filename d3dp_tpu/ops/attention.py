@@ -372,6 +372,10 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
     x2 = x_ref[:].astype(jnp.float32) + proj + bp_ref[:].astype(jnp.float32)
     x2_ref[:] = x2.astype(x2_ref.dtype)
 
+    if variant == "noy2":
+        # lab-only upper bound: skip LN2 + the y2 output entirely to
+        # measure what moving LN2 into the consumer kernel could save
+        return
     mu2 = jnp.mean(x2, axis=-1, keepdims=True)
     var2 = jnp.mean(jnp.square(x2 - mu2), axis=-1, keepdims=True)
     y2 = (x2 - mu2) * jax.lax.rsqrt(var2 + eps)
