@@ -47,13 +47,34 @@ def _gelu_exact(x32, exact_erf=False):
     return 0.5 * x32 * (1.0 + erf(x32 * (2.0**-0.5)))
 
 
+def _mlp_variant():
+    """Experimental MLP-kernel variants (kernel-lab; see PERFORMANCE.md):
+    '' = production erf-poly GELU in fp32; 'bf16gelu' = the same A&S
+    polynomial evaluated in bf16 (bf16 path only; halves the dominant VPU
+    divide/exp/FMA traffic of the activation); 'nogelu' = identity in place
+    of the GELU — WRONG MATH, lab-only diagnostic bounding how much of the
+    block the activation costs."""
+    return os.environ.get("D3DP_MLP_VARIANT", "")
+
+
+def _gelu_inkernel(h32, f32_prec):
+    variant = _mlp_variant()
+    if variant == "nogelu":
+        return h32
+    if variant == "bf16gelu" and not f32_prec:
+        h16 = h32.astype(jnp.bfloat16)
+        return (0.5 * h16 * (1.0 + _erf32(h16 * jnp.bfloat16(2.0**-0.5)))
+                ).astype(jnp.float32)
+    return _gelu_exact(h32)
+
+
 def _mlp_block_kernel(x_ref, res_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                       lns_ref, lnb_ref, o_ref, *, eps, f32_prec):
     prec = jax.lax.Precision.HIGHEST if f32_prec else None
     h = jax.lax.dot_general(
         x_ref[:], w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
-    h = _gelu_exact(h + b1_ref[:].astype(jnp.float32))
+    h = _gelu_inkernel(h + b1_ref[:].astype(jnp.float32), f32_prec)
     out = jax.lax.dot_general(
         h.astype(x_ref.dtype), w2_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -119,7 +140,7 @@ def _mlp_block_t_kernel(x_ref, res_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h = jax.lax.dot_general(
         x2d, w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
-    h = _gelu_exact(h + b1_ref[:].astype(jnp.float32))
+    h = _gelu_inkernel(h + b1_ref[:].astype(jnp.float32), f32_prec)
     out = jax.lax.dot_general(
         h.astype(x.dtype), w2_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),

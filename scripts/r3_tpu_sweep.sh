@@ -31,6 +31,18 @@ stages)
     D3DP_ATTN_VARIANT=batched timeout 580 python scripts/stage_lab.py --stage $stage --tb 4
   done
   ;;
+mlp)
+  # MLP-kernel lab: how much of the 4.9/2.9 ms blocks is the erf-GELU's
+  # VPU divide/exp traffic? nogelu = diagnostic bound, bf16gelu = candidate
+  for stage in mlp_temporal mlp_spatial; do
+    echo "== $stage default =="
+    timeout 580 python scripts/stage_lab.py --stage $stage
+    echo "== $stage nogelu (diagnostic bound) =="
+    D3DP_MLP_VARIANT=nogelu timeout 580 python scripts/stage_lab.py --stage $stage
+    echo "== $stage bf16gelu =="
+    D3DP_MLP_VARIANT=bf16gelu timeout 580 python scripts/stage_lab.py --stage $stage
+  done
+  ;;
 tiles)
   # the r2 sweep's unmeasurable cells (Mosaic compile >10 min through the
   # tunnel): warm the cache patiently, one cell per invocation
