@@ -52,6 +52,27 @@ tiles)
       echo "tb=$tb: compile exceeded window — re-run to continue from cache"
   done
   ;;
+variants)
+  # accuracy gate for promoting the bf16-only kernel variants: exact
+  # sampler on the converged qualification checkpoint, identical DDIM
+  # noise, one process per cell (trace-time env switches)
+  echo "== default =="
+  timeout 580 python scripts/variant_eval.py
+  echo "== bf16exp =="
+  timeout 580 python scripts/variant_eval.py --attn-variant bf16exp
+  echo "== bf16gelu =="
+  timeout 580 python scripts/variant_eval.py --mlp-variant bf16gelu
+  echo "== bf16exp + bf16gelu =="
+  timeout 580 python scripts/variant_eval.py --attn-variant bf16exp --mlp-variant bf16gelu
+  ;;
+fwd)
+  # in-model end-to-end forward with the candidate variants (flagship shape)
+  echo "== default =="
+  timeout 580 python scripts/fwd_bench.py
+  echo "== bf16exp + bf16gelu =="
+  D3DP_ATTN_VARIANT=bf16exp D3DP_MLP_VARIANT=bf16gelu \
+    timeout 580 python scripts/fwd_bench.py
+  ;;
 bench)
   timeout 580 python bench.py
   ;;
