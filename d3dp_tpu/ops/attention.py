@@ -105,7 +105,7 @@ def fused_attention_packed(q, k, v, num_heads, scale, interpret=None):
     B, N, C = q.shape
     d = C // num_heads
     if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
+        interpret = _interpret_default()
     tb = _tile_rows(B, N)
 
     spec = pl.BlockSpec(
@@ -184,7 +184,7 @@ def _fused_attention_qkv_bwd(qkv, dout, num_heads, scale, interpret=None,
     C = C3 // 3
     d = C // num_heads
     if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
+        interpret = _interpret_default()
     if tb is None:
         tb = max(_tile_rows(B, N) // 2, 1)  # backward holds more live fp32
         while B % tb:
@@ -314,6 +314,9 @@ def _attention_block_fwd(qkv, res, w, b, ln_scale, ln_bias, num_heads,
 
 
 def _interpret_default():
+    from d3dp_tpu.ops.tuning import check_tile_generation
+
+    check_tile_generation()
     return jax.devices()[0].platform != "tpu"
 
 
@@ -661,7 +664,7 @@ def fused_attention_qkv(qkv, num_heads, scale, interpret=None, tb=None):
     C = C3 // 3
     d = C // num_heads
     if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
+        interpret = _interpret_default()
     if tb is None:
         tb = _env_tile("D3DP_TB_QKV_T" if N >= 128 else "D3DP_TB_QKV_S") \
             or _tile_rows(B, N)

@@ -94,7 +94,9 @@ def _mlp_block_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
     R, C = x.shape
     H = w1.shape[1]
     if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
+        from d3dp_tpu.ops.attention import _interpret_default
+
+        interpret = _interpret_default()
     if tr is None:
         v = os.environ.get("D3DP_MLP_TILE_ROWS", "")
         tr = min(R, int(v) if v else 512)
@@ -163,7 +165,9 @@ def _mlp_block_t_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
     B, D1, D2, C = x.shape
     H = w1.shape[1]
     if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
+        from d3dp_tpu.ops.attention import _interpret_default
+
+        interpret = _interpret_default()
     tile_first = D1 >= D2
     if tile is None:
         import os

@@ -190,3 +190,77 @@ def test_stage_kernel_variants_agree(rng, variant, dtype, monkeypatch):
     atol = 0.0 if (variant == "batched" and dtype == "float32") else 5e-2
     np.testing.assert_allclose(var_x2, base_x2, atol=atol)
     np.testing.assert_allclose(var_y2, base_y2, atol=atol)
+
+
+@pytest.mark.parametrize("variant", ["bf16gelu", "nogelu"])
+def test_mlp_kernel_variants(rng, variant, monkeypatch):
+    """Kernel-lab MLP variants (D3DP_MLP_VARIANT). `bf16gelu` evaluates the
+    erf polynomial in bf16 on the bf16 path — a rounding-only change, loose
+    bf16 tolerance on the LN-normalised output. `nogelu` is a WRONG-MATH
+    diagnostic bound and must actually change the result (guards against
+    the env switch silently not reaching the kernel)."""
+    from d3dp_tpu.ops import mlp as M
+
+    B, D1, D2, C = 2, 5, 7, 64
+    dt = jnp.bfloat16
+    x = jnp.asarray(rng.randn(B, D1, D2, C) * 0.5, dt)
+    res = jnp.asarray(rng.randn(B, D1, D2, C) * 0.5, dt)
+    w1 = jnp.asarray(rng.randn(C, 2 * C) * 0.1, dt)
+    b1 = jnp.asarray(rng.randn(2 * C) * 0.01, dt)
+    w2 = jnp.asarray(rng.randn(2 * C, C) * 0.1, dt)
+    b2 = jnp.asarray(rng.randn(C) * 0.01, dt)
+    ones, zeros = jnp.ones((C,), dt), jnp.zeros((C,), dt)
+
+    def run():
+        M._mlp_block_t_fwd.clear_cache()  # env is trace-time state
+        out = M._mlp_block_t_fwd(x, res, w1, b1, w2, b2, ones, zeros, 1e-6)
+        return np.asarray(out, np.float32)
+
+    monkeypatch.delenv("D3DP_MLP_VARIANT", raising=False)
+    base = run()
+    monkeypatch.setenv("D3DP_MLP_VARIANT", variant)
+    var = run()
+    monkeypatch.delenv("D3DP_MLP_VARIANT", raising=False)
+    M._mlp_block_t_fwd.clear_cache()
+
+    if variant == "bf16gelu":
+        np.testing.assert_allclose(var, base, atol=5e-2)
+    else:
+        assert np.max(np.abs(var - base)) > 1e-2
+
+
+class _FakeDevice:
+    def __init__(self, platform, device_kind):
+        self.platform = platform
+        self.device_kind = device_kind
+
+
+@pytest.mark.parametrize("platform,kind,env,expect_warn", [
+    ("cpu", "cpu", {}, False),
+    ("tpu", "TPU v5 lite", {}, False),            # the tuned generation
+    ("tpu", "TPU v4", {}, True),                  # untuned -> advisory
+    ("tpu", "TPU v6 lite", {}, True),
+    ("tpu", "TPU v4", {"D3DP_TB_ATTN_T": "16"}, False),  # user retuned
+])
+def test_tile_generation_advisory(platform, kind, env, expect_warn,
+                                  monkeypatch, recwarn):
+    """The baked tile defaults are v5e measurements; a first kernel launch
+    on another TPU generation must say so ONCE (and stay silent when the
+    user already pinned overrides)."""
+    from d3dp_tpu.ops import tuning
+
+    monkeypatch.setattr(tuning, "_checked", False)
+    monkeypatch.setattr(tuning.jax, "devices",
+                        lambda: [_FakeDevice(platform, kind)])
+    for k in ("D3DP_TB_ATTN_T", "D3DP_MLP_TILE_SP"):
+        monkeypatch.delenv(k, raising=False)
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+
+    tuning.check_tile_generation()
+    msgs = [str(w.message) for w in recwarn.list]
+    assert any("tile defaults" in m for m in msgs) == expect_warn
+    # second call never re-warns
+    n = len(recwarn.list)
+    tuning.check_tile_generation()
+    assert len(recwarn.list) == n
