@@ -39,6 +39,22 @@ from d3dp_tpu.metrics.procrustes_np import (
 MODES = ("J_Best", "P_Best", "P_Agg", "J_Agg")
 
 
+def provider_noise(noise_provider, n, pad, bs):
+    """Fetch + zero-pad one micro-batch of replay noise (parity harnesses;
+    see `evaluate(noise_provider=...)`). Returns `img0` (bs, H, F, J, 3)
+    and `step_noises` (K, bs, H, F, J, 3) — note the step axis LEADS the
+    stack, so batch shardings apply to axis 1, not axis 0."""
+    img0, step_noises = noise_provider(n)
+    if pad:
+        z = ((0, pad),) + ((0, 0),) * (img0.ndim - 1)
+        img0 = np.pad(img0, z)
+        step_noises = np.pad(step_noises, ((0, 0),) + z)
+    assert img0.shape[0] == bs and step_noises.shape[1] == bs, (
+        f"noise_provider returned {img0.shape}/{step_noises.shape} "
+        f"for micro-batch size {bs}")
+    return img0, step_noises
+
+
 @dataclass
 class EvalResult:
     """Frame-weighted sums per aggregation mode; (K,) arrays."""
@@ -92,6 +108,9 @@ class Evaluator:
             assert batch_size % mesh.shape["dp"] == 0, (
                 f"batch_size {batch_size} not divisible by dp={mesh.shape['dp']}")
             self._batch_sharding = batch_sharding(mesh)
+            from d3dp_tpu.parallel import step_noise_sharding
+
+            self._noise_sharding = step_noise_sharding(mesh)
         self._step = jax.jit(self._eval_step, static_argnames=("need_preds",))
         self._step_noise = jax.jit(
             self._eval_step_noise, static_argnames=("need_preds",))
@@ -221,16 +240,15 @@ class Evaluator:
                         take(traj), cams, weights, need_preds=need_preds,
                     )
                 else:
-                    img0, step_noises = noise_provider(n)
-                    if pad:
-                        z = ((0, pad),) + ((0, 0),) * (img0.ndim - 1)
-                        img0 = np.pad(img0, z)
-                        step_noises = np.pad(step_noises, ((0, 0),) + z)
-                    assert img0.shape[0] == bs and step_noises.shape[1] == bs
+                    img0, step_noises = provider_noise(
+                        noise_provider, n, pad, bs)
+                    if self._batch_sharding is not None:
+                        step_noises = jax.device_put(
+                            step_noises, self._noise_sharding)
                     errors, preds, _ = self._step_noise(
                         params, sub, take(w2d), take(w2d_f), take(w3d),
                         take(traj), cams, weights, put(img0),
-                        put(step_noises), need_preds=need_preds,
+                        jnp.asarray(step_noises), need_preds=need_preds,
                     )
                 if return_predictions:
                     # collect ALL windows of the first sequence (the

@@ -30,6 +30,7 @@ from d3dp_tpu.geometry.camera import (
     project_to_2d_linear,
     image_coordinates,
 )
+from d3dp_tpu.eval.evaluator import provider_noise
 from d3dp_tpu.metrics.mpjpe import mpjpe_diffusion_3dhp
 from d3dp_tpu.eval.aggregation import (
     select_p_agg,
@@ -52,10 +53,11 @@ class Evaluator3DHP:
         self.quickdebug = quickdebug
         self._batch_sharding = None
         if mesh is not None:
-            from d3dp_tpu.parallel import batch_sharding
+            from d3dp_tpu.parallel import batch_sharding, step_noise_sharding
 
             assert batch_size % mesh.shape["dp"] == 0
             self._batch_sharding = batch_sharding(mesh)
+            self._noise_sharding = step_noise_sharding(mesh)
         self._step = jax.jit(
             self._eval_step, static_argnames=("distortion", "width", "height"))
         self._step_noise = jax.jit(
@@ -177,15 +179,16 @@ class Evaluator3DHP:
                         jnp.asarray(cam),
                         distortion=distortion, width=width, height=height)
                 else:
-                    img0, step_noises = noise_provider(n)
-                    if pad:
-                        z = ((0, pad),) + ((0, 0),) * (img0.ndim - 1)
-                        img0 = np.pad(img0, z)
-                        step_noises = np.pad(step_noises, ((0, 0),) + z)
+                    img0, step_noises = provider_noise(
+                        noise_provider, n, pad, self.bs)
+                    if self._batch_sharding is not None:
+                        step_noises = jax.device_put(
+                            step_noises, self._noise_sharding)
                     errors, selections = self._step_noise(
                         params, sub, take(w2d), take(w2d_f), take(w3d),
                         take(traj), put(v.astype(np.float32)), put(win_w),
-                        jnp.asarray(cam), put(img0), put(step_noises),
+                        jnp.asarray(cam), put(img0),
+                        jnp.asarray(step_noises),
                         distortion=distortion, width=width, height=height)
 
                 weight = n * self.rf

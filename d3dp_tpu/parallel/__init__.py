@@ -1,6 +1,7 @@
 from d3dp_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
+    step_noise_sharding,
     replicated_sharding,
     mixste_param_spec,
     shard_params,
@@ -14,6 +15,7 @@ from d3dp_tpu.parallel.multihost import (
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "step_noise_sharding",
     "replicated_sharding",
     "mixste_param_spec",
     "shard_params",

@@ -38,6 +38,12 @@ def replicated_sharding(mesh):
     return NamedSharding(mesh, P())
 
 
+def step_noise_sharding(mesh):
+    """Sharding for DDIM replay-noise stacks shaped (K, batch, ...): the
+    sampling-step axis leads, so the dp batch split applies to axis 1."""
+    return NamedSharding(mesh, P(None, "dp"))
+
+
 def _leaf_spec(path, leaf):
     """Tensor-parallel PartitionSpec for one MixSTE2 param leaf.
 

@@ -72,6 +72,11 @@ fwd)
   echo "== bf16exp + bf16gelu =="
   D3DP_ATTN_VARIANT=bf16exp D3DP_MLP_VARIANT=bf16gelu \
     timeout 580 python scripts/fwd_bench.py
+  echo "== temporal tb=10 (isolated -1.7%; 680 % 10 == 0) =="
+  D3DP_TB_ATTN_T=10 timeout 580 python scripts/fwd_bench.py
+  echo "== all three =="
+  D3DP_ATTN_VARIANT=bf16exp D3DP_MLP_VARIANT=bf16gelu D3DP_TB_ATTN_T=10 \
+    timeout 580 python scripts/fwd_bench.py
   ;;
 bench)
   timeout 580 python bench.py

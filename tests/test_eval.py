@@ -76,3 +76,36 @@ def test_return_predictions():
                         return_predictions=True)
     # first sequence = 100 frames -> 4 windows of 27 (-> one micro-batch)
     assert preds.shape == (4, 2, 2, F, 17, 3)
+
+
+def test_sharded_noise_provider():
+    """noise_provider + dp mesh: the (K, bs, ...) step-noise stack leads
+    with the SAMPLING-STEP axis, so the dp sharding must land on axis 1 —
+    with K=2 not divisible by dp=4 a leading-axis sharding would fail
+    outright. Sharded replay must also equal unsharded replay."""
+    from d3dp_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(dp=4, tp=2)
+
+    d3dp, params, gen = make_setup()
+    kw = dict(receptive_field=F, batch_size=4, kps_left=JOINTS_LEFT,
+              kps_right=JOINTS_RIGHT)
+    H, K = 2, 2
+
+    def make_provider():
+        def provider(n):
+            img0 = rng_state.randn(4, H, F, 17, 3).astype(np.float32)
+            steps = rng_state.randn(K, 4, H, F, 17, 3).astype(np.float32)
+            return img0[:n].copy(), steps[:, :n].copy()
+        rng_state = np.random.RandomState(11)
+        return provider
+
+    r1 = Evaluator(d3dp, **kw).evaluate(
+        params, gen(), jax.random.PRNGKey(5), noise_provider=make_provider())
+    r2 = Evaluator(d3dp, mesh=mesh, **kw).evaluate(
+        params, gen(), jax.random.PRNGKey(5), noise_provider=make_provider())
+    for m in ("J_Best", "P_Best", "P_Agg", "J_Agg"):
+        np.testing.assert_allclose(
+            r1.averages_mm()[m], r2.averages_mm()[m], rtol=1e-5)
