@@ -327,7 +327,15 @@ def _stage_variant():
     'batched' = head-major (h*TB, N, d) scratch built by lane-slice copies
     + ONE batched dot_general over all heads (the leading-dim fold Mosaic
     may accept, unlike the rejected (TB,N,h,d)->(TB*h,N,d) transpose
-    relayout — needs small TB: logits are (h*TB, N, N) fp32 in VMEM)."""
+    relayout — needs small TB: logits are (h*TB, N, N) fp32 in VMEM);
+    'pipelined' = identical math, software-pipelined head loop (head h+1's
+    QK^T is issued before head h's softmax/AV so independent MXU and VPU
+    work sits adjacent in the instruction stream — attacks the per-head
+    MXU-idle-during-softmax serialisation the r3 plateau analysis names);
+    'phasesplit' = three strict phases: all per-head QK^T stacked on a NEW
+    LEADING axis (a sublane stack, not the lane relayout Mosaic rejects),
+    ONE batched softmax pass over every head's logits, then all per-head
+    AV — fewer, bigger VPU ops at the cost of phase barriers."""
     return os.environ.get("D3DP_ATTN_VARIANT", "")
 
 
@@ -361,6 +369,12 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
         qs_ref, ks_ref, vs_ref = args
         _stage_heads_batched(qkv, acc_ref, qs_ref, ks_ref, vs_ref, num_heads,
                              head_dim, C, scale, prec, fold_div, TB, N)
+    elif variant == "pipelined":
+        _stage_heads_pipelined(qkv, acc_ref, num_heads, head_dim, C, scale,
+                               prec, fold_div)
+    elif variant == "phasesplit":
+        _stage_heads_phasesplit(qkv, acc_ref, num_heads, head_dim, C, scale,
+                                prec, fold_div)
     else:
         _stage_heads_loop(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
                           fold_div, bf16_exp=(variant == "bf16exp"
@@ -420,6 +434,78 @@ def _stage_heads_loop(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
             o = jax.lax.dot_general(
                 a, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32, precision=prec)
+        acc_ref[:, :, hi * head_dim : (hi + 1) * head_dim] = o.astype(
+            acc_ref.dtype)
+
+
+def _stage_heads_pipelined(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
+                           fold_div):
+    """Software-pipelined head loop — IDENTICAL math to _stage_heads_loop,
+    only the issue order differs: head h+1's QK^T (MXU) is emitted before
+    head h's softmax (VPU) + AV, giving the scheduler adjacent independent
+    MXU/VPU work instead of a strict QK->softmax->AV dependency chain per
+    head."""
+    def _qk(hi):
+        q = qkv[:, :, hi * head_dim : (hi + 1) * head_dim]
+        k = qkv[:, :, C + hi * head_dim : C + (hi + 1) * head_dim]
+        return jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec) * scale
+
+    def _finish(hi, s):
+        v = qkv[:, :, 2 * C + hi * head_dim : 2 * C + (hi + 1) * head_dim]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if fold_div:
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=prec)
+            o = o * (1.0 / l)
+        else:
+            a = (p / l).astype(v.dtype)
+            o = jax.lax.dot_general(
+                a, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=prec)
+        acc_ref[:, :, hi * head_dim : (hi + 1) * head_dim] = o.astype(
+            acc_ref.dtype)
+
+    s_prev = _qk(0)
+    for hi in range(1, num_heads):
+        s_cur = _qk(hi)
+        _finish(hi - 1, s_prev)
+        s_prev = s_cur
+    _finish(num_heads - 1, s_prev)
+
+
+def _stage_heads_phasesplit(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
+                            fold_div):
+    """Three strict phases: (1) every head's QK^T, stacked along a NEW
+    leading axis (sublane stack — no lane relayout); (2) ONE softmax pass
+    over the (h, TB, N, N) stack — a single big VPU loop instead of h
+    small ones serialised between matmuls; (3) every head's AV. VMEM cost:
+    the full fp32 logit stack lives at once (temporal tb=8: ~15 MB)."""
+    s = jnp.stack([
+        jax.lax.dot_general(
+            qkv[:, :, hi * head_dim : (hi + 1) * head_dim],
+            qkv[:, :, C + hi * head_dim : C + (hi + 1) * head_dim],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+        for hi in range(num_heads)]) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if not fold_div:
+        p = p / l
+    for hi in range(num_heads):
+        v = qkv[:, :, 2 * C + hi * head_dim : 2 * C + (hi + 1) * head_dim]
+        o = jax.lax.dot_general(
+            p[hi].astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+        if fold_div:
+            o = o * (1.0 / l[hi])
         acc_ref[:, :, hi * head_dim : (hi + 1) * head_dim] = o.astype(
             acc_ref.dtype)
 

@@ -31,6 +31,16 @@ stages)
     D3DP_ATTN_VARIANT=batched timeout 580 python scripts/stage_lab.py --stage $stage --tb 4
   done
   ;;
+stages2)
+  # round-3b cells: serialisation attacks that keep per-head matmuls
+  # (identical math; exactness pinned by test_stage_kernel_variants_agree)
+  for stage in temporal spatial; do
+    echo "== $stage pipelined (QK^T of h+1 issued before softmax of h) =="
+    D3DP_ATTN_VARIANT=pipelined timeout 580 python scripts/stage_lab.py --stage $stage
+    echo "== $stage phasesplit (one batched softmax over all heads) =="
+    D3DP_ATTN_VARIANT=phasesplit timeout 580 python scripts/stage_lab.py --stage $stage
+  done
+  ;;
 mlp)
   # MLP-kernel lab: how much of the 4.9/2.9 ms blocks is the erf-GELU's
   # VPU divide/exp traffic? nogelu = diagnostic bound, bf16gelu = candidate
