@@ -339,9 +339,22 @@ def _stage_variant():
     return os.environ.get("D3DP_ATTN_VARIANT", "")
 
 
+def _spatial_group():
+    """Grouped spatial attention (kernel-lab; D3DP_SPATIAL_GROUP=g): fold g
+    17-token sequences into one (g*17)-token attention with a block-diagonal
+    additive mask. The (R, 17, C) -> (R/g, g*17, C) fold is a row-major
+    bitcast in HBM (free), LN/projections are row-wise (unaffected), and the
+    masked softmax is mathematically exact — but every MXU op becomes g x
+    bigger, attacking the 13%-MXU-fill intrinsic to the 17-token shape.
+    Eval/sampling-path only (the stage VJP refuses it)."""
+    v = os.environ.get("D3DP_SPATIAL_GROUP", "")
+    return int(v) if v else 0
+
+
 def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
                        ln1b_ref, ln2s_ref, ln2b_ref, x2_ref, y2_ref, acc_ref,
-                       *args, scale, num_heads, head_dim, eps, f32_prec):
+                       *args, scale, num_heads, head_dim, eps, f32_prec,
+                       mask_block=0):
     """The ENTIRE pre-LN attention stage in one VMEM pass:
     LN1 -> qkv projection -> attention -> out-projection -> residual ->
     LN2. Reads the residual stream once (3 activation passes of HBM traffic
@@ -364,21 +377,29 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
     qkv = qkv.reshape(TB, N, 3 * C)
 
     fold_div = (not f32_prec) and os.environ.get("D3DP_SOFTMAX_FOLD", "1") == "1"
+    mask = None
+    if mask_block:
+        # block-diagonal additive mask for grouped spatial attention:
+        # token i may attend token j only within its own original sequence
+        bi = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) // mask_block
+        bj = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) // mask_block
+        mask = jnp.where(bi == bj, 0.0, -1e30).astype(jnp.float32)
     variant = _stage_variant()
     if variant == "batched":
+        assert mask is None, "grouped+batched variants do not compose"
         qs_ref, ks_ref, vs_ref = args
         _stage_heads_batched(qkv, acc_ref, qs_ref, ks_ref, vs_ref, num_heads,
                              head_dim, C, scale, prec, fold_div, TB, N)
     elif variant == "pipelined":
         _stage_heads_pipelined(qkv, acc_ref, num_heads, head_dim, C, scale,
-                               prec, fold_div)
+                               prec, fold_div, mask=mask)
     elif variant == "phasesplit":
         _stage_heads_phasesplit(qkv, acc_ref, num_heads, head_dim, C, scale,
-                                prec, fold_div)
+                                prec, fold_div, mask=mask)
     else:
         _stage_heads_loop(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
                           fold_div, bf16_exp=(variant == "bf16exp"
-                                              and not f32_prec))
+                                              and not f32_prec), mask=mask)
 
     # flattened (TB*N, C) M-dim for the out-projection — rank-3 contractions
     # measured slower in Mosaic (same finding as the MLP kernel, r2 sweep)
@@ -402,7 +423,7 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
 
 
 def _stage_heads_loop(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
-                      fold_div, bf16_exp=False):
+                      fold_div, bf16_exp=False, mask=None):
     for hi in range(num_heads):
         q = qkv[:, :, hi * head_dim : (hi + 1) * head_dim]
         k = qkv[:, :, C + hi * head_dim : C + (hi + 1) * head_dim]
@@ -410,6 +431,8 @@ def _stage_heads_loop(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=prec) * scale
+        if mask is not None:
+            s = s + mask
         m = jnp.max(s, axis=-1, keepdims=True)
         if bf16_exp:
             # experimental: exp over bf16 logits (max still fp32-stable);
@@ -439,7 +462,7 @@ def _stage_heads_loop(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
 
 
 def _stage_heads_pipelined(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
-                           fold_div):
+                           fold_div, mask=None):
     """Software-pipelined head loop — IDENTICAL math to _stage_heads_loop,
     only the issue order differs: head h+1's QK^T (MXU) is emitted before
     head h's softmax (VPU) + AV, giving the scheduler adjacent independent
@@ -448,9 +471,10 @@ def _stage_heads_pipelined(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
     def _qk(hi):
         q = qkv[:, :, hi * head_dim : (hi + 1) * head_dim]
         k = qkv[:, :, C + hi * head_dim : C + (hi + 1) * head_dim]
-        return jax.lax.dot_general(
+        s = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=prec) * scale
+        return s if mask is None else s + mask
 
     def _finish(hi, s):
         v = qkv[:, :, 2 * C + hi * head_dim : 2 * C + (hi + 1) * head_dim]
@@ -480,7 +504,7 @@ def _stage_heads_pipelined(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
 
 
 def _stage_heads_phasesplit(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
-                            fold_div):
+                            fold_div, mask=None):
     """Three strict phases: (1) every head's QK^T, stacked along a NEW
     leading axis (sublane stack — no lane relayout); (2) ONE softmax pass
     over the (h, TB, N, N) stack — a single big VPU loop instead of h
@@ -493,6 +517,8 @@ def _stage_heads_phasesplit(qkv, acc_ref, num_heads, head_dim, C, scale, prec,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=prec)
         for hi in range(num_heads)]) * scale
+    if mask is not None:
+        s = s + mask
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -549,12 +575,25 @@ def _stage_heads_batched(qkv, acc_ref, qs_ref, ks_ref, vs_ref, num_heads,
                                    "tb"))
 def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
                          num_heads, scale, eps, interpret=None, tb=None):
-    B, N, C = x.shape
+    B0, N0, C = x.shape
+    B, N = B0, N0
+    mask_block = 0
+    group = _spatial_group()
+    if group > 1 and N0 <= 32 and B0 % group == 0:
+        # grouped spatial attention: row-major bitcast fold + masked softmax
+        # (exact; see _spatial_group). LN/projections are row-wise so only
+        # the attention semantics need the mask.
+        mask_block = N0
+        B, N = B0 // group, group * N0
+        x = x.reshape(B, N, C)
     d = C // num_heads
     if interpret is None:
         interpret = _interpret_default()
     if tb is None:
-        tb = _env_tile("D3DP_TB_ATTN_T" if N >= 128 else "D3DP_TB_ATTN_S")
+        if mask_block:
+            tb = _env_tile("D3DP_TB_ATTN_G")
+        else:
+            tb = _env_tile("D3DP_TB_ATTN_T" if N >= 128 else "D3DP_TB_ATTN_S")
     if tb is None:
         tb = _tile_rows(B, N) if N >= 128 else max(_tile_rows(B, N) // 2, 1)
     tb = max(min(tb, B), 1)
@@ -570,7 +609,8 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
 
     x2, y2 = pl.pallas_call(
         partial(_attn_stage_kernel, scale=scale, num_heads=num_heads,
-                head_dim=d, eps=eps, f32_prec=(x.dtype == jnp.float32)),
+                head_dim=d, eps=eps, f32_prec=(x.dtype == jnp.float32),
+                mask_block=mask_block),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, C), x.dtype),
             jax.ShapeDtypeStruct((B, N, C), x.dtype),
@@ -594,6 +634,9 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
     )(x, wqkv, bqkv.reshape(1, 3 * C), wp, bp.reshape(1, C),
       ln1_s.reshape(1, C), ln1_b.reshape(1, C), ln2_s.reshape(1, C),
       ln2_b.reshape(1, C))
+    if mask_block:
+        x2 = x2.reshape(B0, N0, C)
+        y2 = y2.reshape(B0, N0, C)
     return x2, y2
 
 
@@ -622,6 +665,11 @@ def _attention_stage_p_bwd(num_heads, scale, eps, resids, grads):
     from d3dp_tpu.ops.norm import _ln_bwd_rows
 
     B, N, C = x.shape
+    if _spatial_group() > 1 and N <= 32 and B % _spatial_group() == 0:
+        raise NotImplementedError(
+            "D3DP_SPATIAL_GROUP is an eval/sampling-path optimization; the "
+            "stage backward recomputes ungrouped attention — unset the env "
+            "var for training")
     prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
 
     # recompute forward intermediates

@@ -40,6 +40,13 @@ stages2)
     echo "== $stage phasesplit (one batched softmax over all heads) =="
     D3DP_ATTN_VARIANT=phasesplit timeout 580 python scripts/stage_lab.py --stage $stage
   done
+  # grouped spatial attention: fold g 17-token rows into one masked
+  # (g*17)-token attention — every MXU op becomes g x bigger (exact math;
+  # 9720 % 8 == 9720 % 15 == 0). g=15 -> N'=255 fills the lane tile.
+  for g in 8 15; do
+    echo "== spatial grouped g=$g =="
+    D3DP_SPATIAL_GROUP=$g timeout 580 python scripts/stage_lab.py --stage spatial
+  done
   ;;
 mlp)
   # MLP-kernel lab: how much of the 4.9/2.9 ms blocks is the erf-GELU's

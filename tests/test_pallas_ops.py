@@ -194,6 +194,69 @@ def test_stage_kernel_variants_agree(rng, variant, dtype, monkeypatch):
     np.testing.assert_allclose(var_y2, base_y2, atol=atol)
 
 
+@pytest.mark.parametrize("variant", ["", "pipelined", "phasesplit"])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_spatial_group_agrees(rng, variant, dtype, monkeypatch):
+    """Grouped spatial attention (D3DP_SPATIAL_GROUP): folding g sequences
+    into one (g*N)-token attention with a block-diagonal mask matches the
+    ungrouped stage — the mask zeroes cross-sequence probabilities exactly,
+    so only the softmax-normaliser reduction width differs (fp noise)."""
+    from d3dp_tpu.ops import attention as A
+
+    dt = jnp.float32 if dtype == "float32" else jnp.bfloat16
+    B, N, C, h, g = 12, 9, 64, 4, 3
+    x = jnp.asarray(rng.randn(B, N, C) * 0.5, dt)
+    wqkv = jnp.asarray(rng.randn(C, 3 * C) * 0.1, dt)
+    bqkv = jnp.asarray(rng.randn(3 * C) * 0.01, dt)
+    wp = jnp.asarray(rng.randn(C, C) * 0.1, dt)
+    bp = jnp.asarray(rng.randn(C) * 0.01, dt)
+    s1, b1 = jnp.ones((C,), dt), jnp.zeros((C,), dt)
+    arg = (x, wqkv, bqkv, wp, bp, s1, b1, s1, b1, h, 0.125, 1e-6)
+
+    def run():
+        A._attention_stage_fwd.clear_cache()
+        x2, y2 = A._attention_stage_fwd(*arg, tb=2)
+        return np.asarray(x2, np.float32), np.asarray(y2, np.float32)
+
+    monkeypatch.delenv("D3DP_SPATIAL_GROUP", raising=False)
+    if variant:
+        monkeypatch.setenv("D3DP_ATTN_VARIANT", variant)
+    else:
+        monkeypatch.delenv("D3DP_ATTN_VARIANT", raising=False)
+    base_x2, base_y2 = run()
+    monkeypatch.setenv("D3DP_SPATIAL_GROUP", str(g))
+    grp_x2, grp_y2 = run()
+    monkeypatch.delenv("D3DP_SPATIAL_GROUP", raising=False)
+    monkeypatch.delenv("D3DP_ATTN_VARIANT", raising=False)
+    A._attention_stage_fwd.clear_cache()
+
+    atol = 1e-5 if dtype == "float32" else 5e-2
+    np.testing.assert_allclose(grp_x2, base_x2, atol=atol)
+    np.testing.assert_allclose(grp_y2, base_y2, atol=atol)
+
+
+def test_spatial_group_bwd_refuses(rng, monkeypatch):
+    """Training with D3DP_SPATIAL_GROUP set must fail loudly (the stage
+    backward recomputes ungrouped attention, so grads would be wrong)."""
+    from d3dp_tpu.ops import attention as A
+
+    B, N, C, h = 6, 9, 64, 4
+    x = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+    wqkv = jnp.asarray(rng.randn(C, 3 * C) * 0.1, jnp.float32)
+    bqkv = jnp.zeros((3 * C,), jnp.float32)
+    wp = jnp.asarray(rng.randn(C, C) * 0.1, jnp.float32)
+    bp = jnp.zeros((C,), jnp.float32)
+    s1, b1 = jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32)
+
+    monkeypatch.setenv("D3DP_SPATIAL_GROUP", "3")
+    fn = lambda xx: jnp.sum(A.attention_stage_p(
+        xx, wqkv, bqkv, wp, bp, s1, b1, s1, b1, h, 0.125, 1e-6)[0])
+    with pytest.raises(NotImplementedError, match="SPATIAL_GROUP"):
+        jax.grad(fn)(x)
+    monkeypatch.delenv("D3DP_SPATIAL_GROUP", raising=False)
+    A._attention_stage_fwd.clear_cache()
+
+
 @pytest.mark.parametrize("variant", ["bf16gelu", "nogelu"])
 def test_mlp_kernel_variants(rng, variant, monkeypatch):
     """Kernel-lab MLP variants (D3DP_MLP_VARIANT). `bf16gelu` evaluates the
