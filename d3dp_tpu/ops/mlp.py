@@ -22,16 +22,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _erf32(x):
-    """erf to 1.5e-7 abs error (Abramowitz-Stegun 7.1.26) — Mosaic has no
-    erf primitive; this is ~100x below bf16 resolution and below every fp32
-    parity tolerance in the suite."""
-    s = jnp.sign(x)
-    a = jnp.abs(x)
+def _erf_poly_from_abs(a, s):
+    """A&S 7.1.26 erf body given |x| and sign(x) separately — Mosaic cannot
+    compare bf16 vectors, so bf16 callers must derive `a`/`s` in f32 and
+    cast them down before entering the polynomial."""
     t = 1.0 / (1.0 + 0.3275911 * a)
     poly = t * (0.254829592 + t * (-0.284496736 + t * (
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
     return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _erf32(x):
+    """erf to 1.5e-7 abs error (Abramowitz-Stegun 7.1.26) — Mosaic has no
+    erf primitive; this is ~100x below bf16 resolution and below every fp32
+    parity tolerance in the suite."""
+    return _erf_poly_from_abs(jnp.abs(x), jnp.sign(x))
 
 
 def _gelu_exact(x32, exact_erf=False):
@@ -62,9 +67,13 @@ def _gelu_inkernel(h32, f32_prec):
     if variant == "nogelu":
         return h32
     if variant == "bf16gelu" and not f32_prec:
+        # |z| and sign(z) in f32 (Mosaic rejects bf16 vector compares),
+        # polynomial + exp in bf16 — the VPU-heavy part of the activation.
+        z32 = h32 * (2.0**-0.5)
+        erf = _erf_poly_from_abs(jnp.abs(z32).astype(jnp.bfloat16),
+                                 jnp.sign(z32).astype(jnp.bfloat16))
         h16 = h32.astype(jnp.bfloat16)
-        return (0.5 * h16 * (1.0 + _erf32(h16 * jnp.bfloat16(2.0**-0.5)))
-                ).astype(jnp.float32)
+        return (0.5 * h16 * (1.0 + erf)).astype(jnp.float32)
     return _gelu_exact(h32)
 
 
