@@ -126,14 +126,17 @@ def build_parser(in_the_wild=False):
                              "fp32 training stays on the xla parity path "
                              "unless 'pallas' is passed explicitly.")
     parser.add_argument("--fuse-level", type=int, default=4,
-                        choices=[0, 1, 2, 3, 4],
+                        choices=[0, 1, 2, 3, 4, 5],
                         help="Pallas-path kernel fusion ladder (tuning knob; "
                              "each level measured faster in-graph on v5e — "
                              "lower levels are the fallback for other TPU "
                              "generations): 0 = fused attention only, "
                              "2 = +attention/MLP stage kernels, 3 = "
                              "+transpose-free flow, 4 = +LN1/qkv folded in "
-                             "(two kernels per block). Ignored with "
+                             "(two kernels per block), 5 = depth-resident "
+                             "megakernel (whole trunk in one Pallas call, "
+                             "stream resident in VMEM; eval/sampling only — "
+                             "training falls back to 4). Ignored with "
                              "--attention xla.")
     parser.add_argument("--ddim-reuse", type=int, default=0, metavar="N",
                         help="DDIM feature reuse (FRDiff-style): refresh the "

@@ -159,6 +159,44 @@ class MlpParams(nn.Module):
         return w1, b1, w2, b2
 
 
+class AttnParams(nn.Module):
+    """Parameter holder matching FusedAttentionStage/Attention's tree
+    (attn/{qkv, proj}) — used by the depth-resident megakernel path, which
+    consumes raw stacked weights instead of calling per-block modules."""
+
+    dim: int
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = DenseParams(self.dim, 3 * self.dim, self.param_dtype,
+                             name="qkv")()
+        wp, bp = DenseParams(self.dim, self.dim, self.param_dtype,
+                             name="proj")()
+        return wq, bq, wp, bp
+
+
+class BlockParams(nn.Module):
+    """Declares one Block's full parameter set (identical tree/init to
+    Block: norm1, norm2, attn/{qkv,proj}, mlp/{fc1,fc2}) and returns the
+    raw arrays for the depth-resident kernel (ops/resident.py)."""
+
+    dim: int
+    hidden: int
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self):
+        s1, b1 = LNParams(self.dim, self.param_dtype, name="norm1")()
+        s2, b2 = LNParams(self.dim, self.param_dtype, name="norm2")()
+        wq, bq, wp, bp = AttnParams(self.dim, self.param_dtype,
+                                    name="attn")()
+        w1, bb1, w2, bb2 = MlpParams(self.dim, self.hidden,
+                                     self.param_dtype, name="mlp")()
+        return dict(wq=wq, bq=bq, wp=wp, bp=bp, ln1s=s1, ln1b=b1, ln2s=s2,
+                    ln2b=b2, w1=w1, b1=bb1, w2=w2, b2=bb2)
+
+
 class FusedAttentionStage(nn.Module):
     """The whole pre-LN attention stage via one Pallas kernel (LN1 + qkv +
     attention + out-proj + residual + LN2). Parameter-tree compatible with
@@ -609,7 +647,42 @@ class MixSTE2(nn.Module):
         def from_temporal(xt):
             return xt.reshape(B, J, F, C).transpose(0, 2, 1, 3)
 
-        if fused and cfg.fuse_level >= 3:
+        resident = (fused and cfg.fuse_level >= 5 and deterministic
+                    and reuse_tap is None)
+        if resident:
+            # level 5: the whole 2*depth-block trunk is ONE Pallas call with
+            # the residual stream resident in VMEM across depths
+            # (ops/resident.py). Params are declared through mirror holders
+            # with the exact tree of the per-block modules, then stacked
+            # along depth for the kernel's blocked weight streams.
+            from d3dp_tpu.ops.resident import resident_block_stack
+
+            hidden = int(C * cfg.mlp_ratio)
+            sp = [BlockParams(C, hidden, cfg.param_dtype, name=f"ste_{i}")()
+                  for i in range(cfg.depth)]
+            tp = [BlockParams(C, hidden, cfg.param_dtype, name=f"tte_{i}")()
+                  for i in range(cfg.depth)]
+
+            def stack_kind(ps):
+                return (
+                    jnp.stack([p["wq"] for p in ps]).astype(cfg.dtype),
+                    jnp.stack([p["bq"] for p in ps])[:, None, :],
+                    jnp.stack([p["wp"] for p in ps]).astype(cfg.dtype),
+                    jnp.stack([p["w1"] for p in ps]).astype(cfg.dtype),
+                    jnp.stack([p["b1"] for p in ps])[:, None, :],
+                    jnp.stack([p["w2"] for p in ps]).astype(cfg.dtype),
+                    jnp.stack([jnp.stack([p["bp"], p["ln1s"], p["ln1b"],
+                                          p["ln2s"], p["ln2b"], p["b2"]])
+                               for p in ps]),
+                )
+
+            shared = jnp.stack([spatial_ln[0], spatial_ln[1],
+                                temporal_ln[0], temporal_ln[1]])
+            scale = cfg.qk_scale or (C // cfg.num_heads) ** -0.5
+            x = resident_block_stack(
+                x, temporal_pos[0], stack_kind(sp), stack_kind(tp), shared,
+                cfg.num_heads, scale, 1e-6)
+        elif fused and cfg.fuse_level >= 3:
             # transpose-free flow: every block emits its output already in
             # the next stage\'s layout (the relayout rides the fused MLP
             # kernel\'s output DMA) — no standalone spatial<->temporal

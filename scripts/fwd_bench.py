@@ -2,13 +2,17 @@ import sys, time, os
 sys.path.insert(0, ".")
 import jax, jax.numpy as jnp, numpy as np
 DEPTH = int(os.environ.get("D3DP_BENCH_DEPTH", "8"))
+FUSE = int(os.environ.get("D3DP_BENCH_FUSE", "4"))
+from d3dp_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
 from d3dp_tpu.diffusion import D3DP, D3DPConfig
 from d3dp_tpu.models import MixSTEConfig
 
 ROWS, F, J = 40, 243, 17
 d3dp = D3DP(D3DPConfig(
     model=MixSTEConfig(num_frames=F, embed_dim=512, depth=DEPTH,
-                       dtype=jnp.bfloat16, attention_impl="pallas"),
+                       dtype=jnp.bfloat16, attention_impl="pallas",
+                       fuse_level=FUSE),
     num_proposals=1, sampling_timesteps=1))
 params = d3dp.init_params(jax.random.PRNGKey(0))
 rng = np.random.RandomState(0)
