@@ -132,12 +132,14 @@ def _resident_kernel(
         stream_ref[:] = x_ref[:]
 
     stage_kw = dict(num_heads=num_heads, head_dim=head_dim, scale=scale,
-                    eps=eps, f32_prec=f32_prec, fold_div=fold_div,
+                    eps=eps, f32_prec=f32_prec, fold_div=bool(fold_div),
                     bf16_exp=bf16_exp)
+    unroll = os.environ.get("D3DP_RES_UNROLL", "") == "1"
 
     # ---- spatial block: rows are frames, sequences are the J joints ----
     def sp_chunk(i, carry):
-        f0 = jnp.minimum(i * csf, F - csf)
+        f0 = jnp.minimum(i * csf, F - csf) if not isinstance(i, int) \
+            else min(i * csf, F - csf)
         xs = stream_ref[0, pl.ds(f0, csf)]  # (csf, J, C)
         x2, y2 = _stage_math(xs, s_wqkv[0], s_bqkv[0], s_wp[0], s_vec,
                              acc_s_ref, **stage_kw)
@@ -147,7 +149,13 @@ def _resident_kernel(
         stage_s_ref[pl.ds(f0, csf)] = out.reshape(csf, J, C)
         return carry
 
-    jax.lax.fori_loop(0, ncf, sp_chunk, 0)
+    if unroll or ncf == 1:
+        # static starts: Mosaic schedules across chunk boundaries (compile
+        # cost scales with the unroll factor — lab knob D3DP_RES_UNROLL)
+        for ii in range(ncf):
+            sp_chunk(ii, 0)
+    else:
+        jax.lax.fori_loop(0, ncf, sp_chunk, 0)
 
     @pl.when(d == 0)
     def _add_tpos():
@@ -160,7 +168,8 @@ def _resident_kernel(
     stream_t_ref[:] = jnp.swapaxes(stage_s_ref[:], 0, 1)  # (J, F, C)
 
     def tp_chunk(i, carry):
-        j0 = jnp.minimum(i * cst, J - cst)
+        j0 = jnp.minimum(i * cst, J - cst) if not isinstance(i, int) \
+            else min(i * cst, J - cst)
         xt = stream_t_ref[pl.ds(j0, cst)]  # (cst, F, C)
         x2, y2 = _stage_math(xt, t_wqkv[0], t_bqkv[0], t_wp[0], t_vec,
                              acc_t_ref, **stage_kw)
@@ -170,7 +179,11 @@ def _resident_kernel(
         stage_t_ref[pl.ds(j0, cst)] = out.reshape(cst, F, C)
         return carry
 
-    jax.lax.fori_loop(0, nct, tp_chunk, 0)
+    if unroll or nct == 1:
+        for ii in range(nct):
+            tp_chunk(ii, 0)
+    else:
+        jax.lax.fori_loop(0, nct, tp_chunk, 0)
 
     new4 = jnp.swapaxes(stage_t_ref[:], 0, 1)[None]  # (1, F, J, C)
     stream_ref[:] = new4

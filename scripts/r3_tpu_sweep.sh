@@ -95,6 +95,29 @@ fwd)
   D3DP_ATTN_VARIANT=bf16exp D3DP_MLP_VARIANT=bf16gelu D3DP_TB_ATTN_T=10 \
     timeout 580 python scripts/fwd_bench.py
   ;;
+resident)
+  # depth-resident megakernel (fuse level 5) vs the level-4 pipeline,
+  # in-model forward at the flagship shape. The fuse-5 cell is the compile
+  # gamble: ONE Mosaic kernel containing a spatial and a temporal
+  # stage+MLP body — if it exceeds the 580 s window, re-run (the XLA-side
+  # persistent cache still shortens retries) and record the dead end.
+  echo "== fuse 4 (control) =="
+  D3DP_BENCH_FUSE=4 timeout 580 python scripts/fwd_bench.py
+  echo "== fuse 5 (resident) =="
+  D3DP_BENCH_FUSE=5 timeout 580 python scripts/fwd_bench.py
+  echo "== fuse 5 + unroll (static-start chunk bodies) =="
+  D3DP_BENCH_FUSE=5 D3DP_RES_UNROLL=1 timeout 580 python scripts/fwd_bench.py
+  ;;
+qualtrain)
+  # recreate the structured-synthetic qualification checkpoint (the r2 one
+  # lived in /tmp and was wiped); -r auto resumes across 600 s windows.
+  # Persistent location so later sessions keep it.
+  mkdir -p ~/.cache/d3dp_tpu/ckpts/qual_fp32
+  timeout 580 python main.py -d synthetic -k structured -e 25 -f 243 \
+    -cs 512 -dep 8 -b 972 -s 243 --synthetic-frames 4860 --seed 1 \
+    --nolog -c ~/.cache/d3dp_tpu/ckpts/qual_fp32 -r auto --no_eval ||
+    echo "window expired — re-run 'qualtrain' to resume"
+  ;;
 bench)
   timeout 580 python bench.py
   ;;
