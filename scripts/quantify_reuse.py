@@ -9,7 +9,7 @@ speedups. The same PRNG key drives every config, so deltas are purely the
 reuse approximation (the exact-when-off path is pinned separately by
 tests/test_ddim_reuse.py).
 
-Run on TPU:  python scripts/quantify_reuse.py --ckpt /tmp/qual_fp32/best_epoch.ckpt
+Run on TPU:  python scripts/quantify_reuse.py --ckpt ~/.cache/d3dp_tpu/ckpts/qual_fp32/best_epoch.ckpt
 Smoke (CPU): python scripts/quantify_reuse.py --small --platform cpu
 """
 
@@ -27,7 +27,7 @@ sys.path.insert(0, ROOT)
 
 def parse():
     p = argparse.ArgumentParser()
-    p.add_argument("--ckpt", default="/tmp/qual_fp32/best_epoch.ckpt")
+    p.add_argument("--ckpt", default=os.path.expanduser("~/.cache/d3dp_tpu/ckpts/qual_fp32/best_epoch.ckpt"))
     p.add_argument("--platform", default="")
     p.add_argument("--small", action="store_true",
                    help="tiny model + fresh random weights (harness smoke)")

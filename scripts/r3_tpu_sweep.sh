@@ -122,7 +122,7 @@ bench)
   timeout 580 python bench.py
   ;;
 reuse)
-  timeout 580 python scripts/quantify_reuse.py --ckpt /tmp/qual_fp32/best_epoch.ckpt \
+  timeout 580 python scripts/quantify_reuse.py --ckpt ~/.cache/d3dp_tpu/ckpts/qual_fp32/best_epoch.ckpt \
     --out /tmp/reuse_quant.json
   ;;
 *)

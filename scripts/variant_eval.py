@@ -33,7 +33,7 @@ sys.path.insert(0, ROOT)
 
 def parse():
     p = argparse.ArgumentParser()
-    p.add_argument("--ckpt", default="/tmp/qual_fp32/best_epoch.ckpt")
+    p.add_argument("--ckpt", default=os.path.expanduser("~/.cache/d3dp_tpu/ckpts/qual_fp32/best_epoch.ckpt"))
     p.add_argument("--platform", default="")
     p.add_argument("--small", action="store_true",
                    help="tiny model + fresh random weights (harness smoke)")
