@@ -320,7 +320,7 @@ def _interpret_default():
     return jax.devices()[0].platform != "tpu"
 
 
-def _stage_variant():
+def _stage_variant(n_tokens=None):
     """Experimental attention-stage variants (kernel-lab; see
     PERFORMANCE.md): '' = production per-head loop; 'bf16exp' = softmax
     exp/sum in bf16 (bf16 path only; halves the VPU softmax traffic);
@@ -335,7 +335,19 @@ def _stage_variant():
     'phasesplit' = three strict phases: all per-head QK^T stacked on a NEW
     LEADING axis (a sublane stack, not the lane relayout Mosaic rejects),
     ONE batched softmax pass over every head's logits, then all per-head
-    AV — fewer, bigger VPU ops at the cost of phase barriers."""
+    AV — fewer, bigger VPU ops at the cost of phase barriers.
+
+    Per-stage overrides D3DP_ATTN_VARIANT_T (temporal, n_tokens>=128) /
+    D3DP_ATTN_VARIANT_S (spatial) take precedence over the global switch:
+    the r3 long-window sweep measured `batched` at −8.7% on the temporal
+    stage but +55% on the spatial one, so the two stages want different
+    variants."""
+    if n_tokens is not None:
+        key = ("D3DP_ATTN_VARIANT_T" if n_tokens >= 128
+               else "D3DP_ATTN_VARIANT_S")
+        v = os.environ.get(key)
+        if v is not None:
+            return v
     return os.environ.get("D3DP_ATTN_VARIANT", "")
 
 
@@ -354,7 +366,7 @@ def _spatial_group():
 def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
                        ln1b_ref, ln2s_ref, ln2b_ref, x2_ref, y2_ref, acc_ref,
                        *args, scale, num_heads, head_dim, eps, f32_prec,
-                       mask_block=0):
+                       mask_block=0, variant=""):
     """The ENTIRE pre-LN attention stage in one VMEM pass:
     LN1 -> qkv projection -> attention -> out-projection -> residual ->
     LN2. Reads the residual stream once (3 activation passes of HBM traffic
@@ -384,7 +396,6 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
         bi = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) // mask_block
         bj = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) // mask_block
         mask = jnp.where(bi == bj, 0.0, -1e30).astype(jnp.float32)
-    variant = _stage_variant()
     if variant == "batched":
         assert mask is None, "grouped+batched variants do not compose"
         qs_ref, ks_ref, vs_ref = args
@@ -587,6 +598,7 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
         B, N = B0 // group, group * N0
         x = x.reshape(B, N, C)
     d = C // num_heads
+    variant = _stage_variant(N0)
     if interpret is None:
         interpret = _interpret_default()
     if tb is None:
@@ -594,6 +606,12 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
             tb = _env_tile("D3DP_TB_ATTN_G")
         else:
             tb = _env_tile("D3DP_TB_ATTN_T" if N >= 128 else "D3DP_TB_ATTN_S")
+        if tb is None and variant == "batched":
+            # batched keeps (num_heads*tb, N, d) q/k/v scratch + an
+            # (num_heads*tb, N, N) fp32 logits stack in VMEM — the r3
+            # long-window sweep measured tb=4 as the temporal winner and
+            # bigger tiles blow the VMEM budget
+            tb = 4
     if tb is None:
         tb = _tile_rows(B, N) if N >= 128 else max(_tile_rows(B, N) // 2, 1)
     tb = max(min(tb, B), 1)
@@ -610,7 +628,7 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
     x2, y2 = pl.pallas_call(
         partial(_attn_stage_kernel, scale=scale, num_heads=num_heads,
                 head_dim=d, eps=eps, f32_prec=(x.dtype == jnp.float32),
-                mask_block=mask_block),
+                mask_block=mask_block, variant=variant),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, C), x.dtype),
             jax.ShapeDtypeStruct((B, N, C), x.dtype),
@@ -621,7 +639,7 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
         out_specs=(row_spec, row_spec),
         scratch_shapes=[pltpu.VMEM((tb, N, C), x.dtype)] + (
             [pltpu.VMEM((num_heads * tb, N, d), x.dtype)] * 3
-            if _stage_variant() == "batched" else []),
+            if variant == "batched" else []),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -194,6 +194,71 @@ def test_stage_kernel_variants_agree(rng, variant, dtype, monkeypatch):
     np.testing.assert_allclose(var_y2, base_y2, atol=atol)
 
 
+def test_stage_variant_per_stage_selection(monkeypatch):
+    """Per-stage variant resolution: _T engages for n_tokens>=128, _S
+    below; each falls back to the global D3DP_ATTN_VARIANT; an explicitly
+    EMPTY stage env pins that stage to the default even when the global
+    selects a variant (how batched ships temporal-only)."""
+    from d3dp_tpu.ops.attention import _stage_variant
+
+    for env in ("D3DP_ATTN_VARIANT", "D3DP_ATTN_VARIANT_T",
+                "D3DP_ATTN_VARIANT_S"):
+        monkeypatch.delenv(env, raising=False)
+    assert _stage_variant(243) == "" and _stage_variant(17) == ""
+
+    monkeypatch.setenv("D3DP_ATTN_VARIANT_T", "batched")
+    assert _stage_variant(243) == "batched"
+    assert _stage_variant(17) == ""          # _T does not leak to spatial
+    assert _stage_variant() == ""            # no n_tokens -> global only
+
+    monkeypatch.setenv("D3DP_ATTN_VARIANT", "bf16exp")
+    assert _stage_variant(17) == "bf16exp"   # falls back to the global
+    assert _stage_variant(243) == "batched"  # _T still wins over global
+
+    monkeypatch.setenv("D3DP_ATTN_VARIANT_S", "")
+    assert _stage_variant(17) == ""          # explicit empty beats global
+
+
+def test_stage_variant_per_stage_override_e2e(rng, monkeypatch):
+    """End-to-end: a global `noy2` (which skips the y2 write) is defeated
+    for the spatial-classified shape by an explicitly empty _S override,
+    and `_T=noy2` does not engage at N=9 — both runs must reproduce the
+    default-path y2 exactly."""
+    from d3dp_tpu.ops import attention as A
+
+    B, N, C, h = 4, 9, 64, 4  # N=9 -> spatial classification
+    x = jnp.asarray(rng.randn(B, N, C) * 0.5, jnp.float32)
+    wqkv = jnp.asarray(rng.randn(C, 3 * C) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.randn(3 * C) * 0.01, jnp.float32)
+    wp = jnp.asarray(rng.randn(C, C) * 0.1, jnp.float32)
+    bp = jnp.asarray(rng.randn(C) * 0.01, jnp.float32)
+    s1, b1 = jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32)
+    arg = (x, wqkv, bqkv, wp, bp, s1, b1, s1, b1, h, 0.125, 1e-6)
+
+    def run():
+        A._attention_stage_fwd.clear_cache()
+        _, y2 = A._attention_stage_fwd(*arg, tb=2)
+        return np.asarray(y2, np.float32)
+
+    for env in ("D3DP_ATTN_VARIANT", "D3DP_ATTN_VARIANT_T",
+                "D3DP_ATTN_VARIANT_S"):
+        monkeypatch.delenv(env, raising=False)
+    base_y2 = run()
+    assert np.abs(base_y2).max() > 0
+
+    monkeypatch.setenv("D3DP_ATTN_VARIANT_T", "noy2")  # wrong stage: no-op
+    np.testing.assert_allclose(run(), base_y2, atol=0.0)
+
+    monkeypatch.setenv("D3DP_ATTN_VARIANT", "noy2")    # global engages...
+    monkeypatch.setenv("D3DP_ATTN_VARIANT_S", "")      # ...but _S pins it
+    np.testing.assert_allclose(run(), base_y2, atol=0.0)
+
+    for env in ("D3DP_ATTN_VARIANT", "D3DP_ATTN_VARIANT_T",
+                "D3DP_ATTN_VARIANT_S"):
+        monkeypatch.delenv(env, raising=False)
+    A._attention_stage_fwd.clear_cache()
+
+
 @pytest.mark.parametrize("variant", ["", "pipelined", "phasesplit"])
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 def test_spatial_group_agrees(rng, variant, dtype, monkeypatch):
