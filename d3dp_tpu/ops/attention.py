@@ -320,6 +320,21 @@ def _interpret_default():
     return jax.devices()[0].platform != "tpu"
 
 
+_batched_announced = False
+
+
+def _announce_batched_default():
+    """One INFO line the first time the promoted temporal default engages
+    on a real chip (the ADVICE-r2 rule: silent numeric-path switches get
+    an announcement; fp32 is bit-exact, bf16 reorders MXU rounding only)."""
+    global _batched_announced
+    if not _batched_announced:
+        _batched_announced = True
+        print("INFO: temporal attention stage uses the batched head-major "
+              "kernel (r3 default, -3.7%/fwd; set D3DP_ATTN_VARIANT_T=loop "
+              "for the per-head loop)")
+
+
 def _stage_variant(n_tokens=None):
     """Experimental attention-stage variants (kernel-lab; see
     PERFORMANCE.md): '' = production per-head loop; 'bf16exp' = softmax
@@ -341,13 +356,23 @@ def _stage_variant(n_tokens=None):
     D3DP_ATTN_VARIANT_S (spatial) take precedence over the global switch:
     the r3 long-window sweep measured `batched` at −8.7% on the temporal
     stage but +55% on the spatial one, so the two stages want different
-    variants."""
+    variants.
+
+    DEFAULT (r3 promotion): with no variant env set at all, the TEMPORAL
+    stage runs `batched` — measured −3.7% in-model, same-window paired
+    (129.3 → 124.5 ms/fwd; scripts/r3_batched_paired.sh), fp32 output
+    bit-exact vs the loop (test_stage_kernel_variants_agree atol=0).
+    `D3DP_ATTN_VARIANT_T=loop` forces the per-head loop back."""
     if n_tokens is not None:
         key = ("D3DP_ATTN_VARIANT_T" if n_tokens >= 128
                else "D3DP_ATTN_VARIANT_S")
         v = os.environ.get(key)
         if v is not None:
             return v
+        v = os.environ.get("D3DP_ATTN_VARIANT")
+        if v is not None:
+            return v
+        return "batched" if n_tokens >= 128 else ""
     return os.environ.get("D3DP_ATTN_VARIANT", "")
 
 
@@ -601,6 +626,10 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
     variant = _stage_variant(N0)
     if interpret is None:
         interpret = _interpret_default()
+    if (variant == "batched" and not interpret
+            and "D3DP_ATTN_VARIANT_T" not in os.environ
+            and "D3DP_ATTN_VARIANT" not in os.environ):
+        _announce_batched_default()
     if tb is None:
         if mask_block:
             tb = _env_tile("D3DP_TB_ATTN_G")

@@ -80,9 +80,13 @@ def main():
     _ = float(jnp.sum(x2))  # sync (block_until_ready unreliable via tunnel)
     dt_ms = (time.perf_counter() - t0) / opts.iters * 1e3
 
+    from d3dp_tpu.ops.attention import _stage_variant
+
     print(json.dumps({
         "stage": opts.stage, "rows": B, "N": N,
-        "variant": os.environ.get("D3DP_ATTN_VARIANT", "") or "default",
+        # resolved per-stage (r3: temporal defaults to `batched` with no
+        # env set) so the lab records what actually ran
+        "variant": _stage_variant(N) or "loop(default)",
         "tb": opts.tb or "auto", "dtype": opts.dtype,
         "ms_per_call": round(dt_ms, 3),
         "compile_s": round(compile_s, 1),

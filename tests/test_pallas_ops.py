@@ -204,8 +204,11 @@ def test_stage_variant_per_stage_selection(monkeypatch):
     for env in ("D3DP_ATTN_VARIANT", "D3DP_ATTN_VARIANT_T",
                 "D3DP_ATTN_VARIANT_S"):
         monkeypatch.delenv(env, raising=False)
-    assert _stage_variant(243) == "" and _stage_variant(17) == ""
+    # r3 promoted default: temporal runs batched, spatial the loop
+    assert _stage_variant(243) == "batched" and _stage_variant(17) == ""
 
+    monkeypatch.setenv("D3DP_ATTN_VARIANT_T", "loop")
+    assert _stage_variant(243) == "loop"     # opt-out forces the loop
     monkeypatch.setenv("D3DP_ATTN_VARIANT_T", "batched")
     assert _stage_variant(243) == "batched"
     assert _stage_variant(17) == ""          # _T does not leak to spatial
@@ -214,6 +217,8 @@ def test_stage_variant_per_stage_selection(monkeypatch):
     monkeypatch.setenv("D3DP_ATTN_VARIANT", "bf16exp")
     assert _stage_variant(17) == "bf16exp"   # falls back to the global
     assert _stage_variant(243) == "batched"  # _T still wins over global
+    monkeypatch.delenv("D3DP_ATTN_VARIANT_T", raising=False)
+    assert _stage_variant(243) == "bf16exp"  # global set: no promotion
 
     monkeypatch.setenv("D3DP_ATTN_VARIANT_S", "")
     assert _stage_variant(17) == ""          # explicit empty beats global
