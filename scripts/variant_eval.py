@@ -38,8 +38,11 @@ def parse():
     p.add_argument("--small", action="store_true",
                    help="tiny model + fresh random weights (harness smoke)")
     p.add_argument("--attn-variant", default="",
-                   choices=["", "bf16exp"],
-                   help="D3DP_ATTN_VARIANT for this cell")
+                   choices=["", "bf16exp", "loop", "batched"],
+                   help="D3DP_ATTN_VARIANT for this cell ('loop' pins the "
+                        "per-head loop everywhere — the pre-r3-promotion "
+                        "default — for accuracy pairing vs the promoted "
+                        "batched temporal)")
     p.add_argument("--mlp-variant", default="",
                    choices=["", "bf16gelu"],
                    help="D3DP_MLP_VARIANT for this cell")
