@@ -27,7 +27,9 @@ sys.path.insert(0, ROOT)
 
 def parse():
     p = argparse.ArgumentParser()
-    p.add_argument("--ckpt", default=os.path.expanduser("~/.cache/d3dp_tpu/ckpts/qual_fp32/best_epoch.ckpt"))
+    p.add_argument("--ckpt", default="", help="defaults to best_epoch.ckpt "
+               "in the qualification dir, falling back to the newest "
+               "periodic epoch_*.ckpt (--no_eval runs never write a best)")
     p.add_argument("--platform", default="")
     p.add_argument("--small", action="store_true",
                    help="tiny model + fresh random weights (harness smoke)")
@@ -41,8 +43,30 @@ def parse():
     return p.parse_args()
 
 
+def resolve_ckpt(path):
+    """'' -> best_epoch.ckpt in the qualification dir, else the newest
+    periodic epoch_*.ckpt (--no_eval qualtrain runs never write a best —
+    and the fp32 eval compile currently trips the remote-compile helper's
+    HTTP 500, so periodic saves may be all there is)."""
+    if path:
+        return path
+    import glob
+    import re
+
+    d = os.path.expanduser("~/.cache/d3dp_tpu/ckpts/qual_fp32")
+    best = os.path.join(d, "best_epoch.ckpt")
+    if os.path.exists(best):
+        return best
+    cands = glob.glob(os.path.join(d, "epoch_*.ckpt"))
+    if not cands:
+        sys.exit(f"no checkpoint in {d} -- run: bash scripts/r3_tpu_sweep.sh qualtrain")
+    return max(cands,
+               key=lambda p: int(re.search(r"epoch_(\d+)", p).group(1)))
+
+
 def main():
     opts = parse()
+    opts.ckpt = resolve_ckpt(opts.ckpt)
     import jax
 
     if opts.platform:
