@@ -350,7 +350,12 @@ def _stage_variant(n_tokens=None):
     'phasesplit' = three strict phases: all per-head QK^T stacked on a NEW
     LEADING axis (a sublane stack, not the lane relayout Mosaic rejects),
     ONE batched softmax pass over every head's logits, then all per-head
-    AV — fewer, bigger VPU ops at the cost of phase barriers.
+    AV — fewer, bigger VPU ops at the cost of phase barriers;
+    'hmqkv' = heads packed at the WEIGHT level outside the kernel
+    (wqkv stacked (h, C, 3d), wp split (h, d, C)) so the qkv projection
+    is an h-batched dot emitting head-major output directly and the whole
+    stage runs with zero in-kernel lane shuffles (`batched` minus its
+    3+1 per-head scratch/output copies; see _attn_stage_kernel_hm).
 
     Per-stage overrides D3DP_ATTN_VARIANT_T (temporal, n_tokens>=128) /
     D3DP_ATTN_VARIANT_S (spatial) take precedence over the global switch:
@@ -450,6 +455,82 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
         # lab-only upper bound: skip LN2 + the y2 output entirely to
         # measure what moving LN2 into the consumer kernel could save
         return
+    mu2 = jnp.mean(x2, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(x2 - mu2), axis=-1, keepdims=True)
+    y2 = (x2 - mu2) * jax.lax.rsqrt(var2 + eps)
+    y2 = y2 * ln2s_ref[:].astype(jnp.float32) + ln2b_ref[:].astype(
+        jnp.float32)
+    y2_ref[:] = y2.astype(y2_ref.dtype)
+
+
+def _attn_stage_kernel_hm(x_ref, wqkv_hm_ref, bqkv_hm_ref, wp_hm_ref, bp_ref,
+                          ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, x2_ref,
+                          y2_ref, *, scale, num_heads, head_dim, eps,
+                          f32_prec):
+    """Head-major attention stage (variant 'hmqkv') — the VERDICT-r2
+    "pack heads at the WEIGHT level" idea made concrete: the qkv weights
+    arrive pre-stacked (h, C, 3d) and the out-projection pre-split
+    (h, d, C), so the qkv projection itself is ONE h-batched dot whose
+    output is already head-major, the batched QK^T/AV run on contiguous
+    reshapes, and the projection contracts head-major output directly
+    (partial products summed over heads). ZERO in-kernel lane shuffles —
+    the `batched` variant still pays 3+1 per-head scratch/output copies
+    per tile; this eliminates them at the cost of re-reading y1 per head
+    in the batched projection dot (VMEM-resident, cheap)."""
+    C = num_heads * head_dim
+    d = head_dim
+    prec = jax.lax.Precision.HIGHEST if f32_prec else None
+    TB, N = x_ref.shape[0], x_ref.shape[1]
+
+    x32 = x_ref[:].astype(jnp.float32).reshape(TB * N, C)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y1 = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    y1 = y1 * ln1s_ref[:].astype(jnp.float32) + ln1b_ref[:].astype(jnp.float32)
+    y1c = y1.astype(x_ref.dtype)
+
+    # h-batched qkv projection: lhs broadcast over heads (VMEM re-read,
+    # no copy op), output lands head-major — (h, TB*N, 3d)
+    y1b = jnp.broadcast_to(y1c.reshape(1, TB * N, C), (num_heads, TB * N, C))
+    qkv_hm = jax.lax.dot_general(
+        y1b, wqkv_hm_ref[:], dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)
+    qkv_hm = (qkv_hm + bqkv_hm_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    # (h, TB*N, 3d) -> (h*TB, N, 3d) is a contiguous (free) reshape
+    qkv_hm = qkv_hm.reshape(num_heads * TB, N, 3 * d)
+    q = qkv_hm[..., :d]
+    k = qkv_hm[..., d : 2 * d]
+    v = qkv_hm[..., 2 * d :]
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    fold_div = (not f32_prec) and os.environ.get("D3DP_SOFTMAX_FOLD", "1") == "1"
+    if fold_div:
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+        o = o * (1.0 / l)
+    else:
+        a = (p / l).astype(v.dtype)
+        o = jax.lax.dot_general(
+            a, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    # out-projection stays head-major: h-batched (TB*N, d) @ (d, C) with
+    # the head partial-products summed — no packed-lane relayout
+    o_h = o.astype(x_ref.dtype).reshape(num_heads, TB * N, d)
+    proj_h = jax.lax.dot_general(
+        o_h, wp_hm_ref[:], dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)
+    proj = jnp.sum(proj_h, axis=0).reshape(TB, N, C)
+
+    x2 = x_ref[:].astype(jnp.float32) + proj + bp_ref[:].astype(jnp.float32)
+    x2_ref[:] = x2.astype(x2_ref.dtype)
     mu2 = jnp.mean(x2, axis=-1, keepdims=True)
     var2 = jnp.mean(jnp.square(x2 - mu2), axis=-1, keepdims=True)
     y2 = (x2 - mu2) * jax.lax.rsqrt(var2 + eps)
@@ -653,6 +734,51 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
     wp_spec = pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=mem)
     vc_spec = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=mem)
     v3_spec = pl.BlockSpec((1, 3 * C), lambda i: (0, 0), memory_space=mem)
+
+    if variant == "hmqkv" and not mask_block:
+        # pack heads at the WEIGHT level, outside the kernel: qkv weights
+        # stacked head-major (h, C, 3d), bias (h, 1, 3d), out-projection
+        # split (h, d, C) (a free contiguous reshape of wp's rows)
+        h = num_heads
+        wqkv_hm = jnp.stack([
+            jnp.concatenate([wqkv[:, i * d : (i + 1) * d],
+                             wqkv[:, C + i * d : C + (i + 1) * d],
+                             wqkv[:, 2 * C + i * d : 2 * C + (i + 1) * d]],
+                            axis=1)
+            for i in range(h)])
+        b3 = bqkv.reshape(3, h, d)
+        bqkv_hm = jnp.stack([
+            jnp.concatenate([b3[0, i], b3[1, i], b3[2, i]]) for i in range(h)
+        ]).reshape(h, 1, 3 * d)
+        wp_hm = wp.reshape(h, d, C)
+        whm_spec = pl.BlockSpec((h, C, 3 * d), lambda i: (0, 0, 0),
+                                memory_space=mem)
+        bhm_spec = pl.BlockSpec((h, 1, 3 * d), lambda i: (0, 0, 0),
+                                memory_space=mem)
+        wphm_spec = pl.BlockSpec((h, d, C), lambda i: (0, 0, 0),
+                                 memory_space=mem)
+        return pl.pallas_call(
+            partial(_attn_stage_kernel_hm, scale=scale, num_heads=h,
+                    head_dim=d, eps=eps, f32_prec=(x.dtype == jnp.float32)),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, N, C), x.dtype),
+                jax.ShapeDtypeStruct((B, N, C), x.dtype),
+            ),
+            grid=(B // tb,),
+            in_specs=[row_spec, whm_spec, bhm_spec, wphm_spec, vc_spec,
+                      vc_spec, vc_spec, vc_spec, vc_spec],
+            out_specs=(row_spec, row_spec),
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=(2 * B * N * C * 3 * C + 2 * 2 * B * N * N * C
+                       + 2 * B * N * C * C),
+                bytes_accessed=3 * B * N * C * x.dtype.itemsize,
+                transcendentals=B * num_heads * N * N,
+            ),
+        )(x, wqkv_hm, bqkv_hm, wp_hm, bp.reshape(1, C), ln1_s.reshape(1, C),
+          ln1_b.reshape(1, C), ln2_s.reshape(1, C), ln2_b.reshape(1, C))
 
     x2, y2 = pl.pallas_call(
         partial(_attn_stage_kernel, scale=scale, num_heads=num_heads,
