@@ -463,41 +463,54 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
     y2_ref[:] = y2.astype(y2_ref.dtype)
 
 
-def _attn_stage_kernel_hm(x_ref, wqkv_hm_ref, bqkv_hm_ref, wp_hm_ref, bp_ref,
+def _attn_stage_kernel_hm(x_ref, wqkv_hm_ref, bqkv_hm_ref, wp_ref, bp_ref,
                           ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, x2_ref,
-                          y2_ref, *, scale, num_heads, head_dim, eps,
+                          y2_ref, acc_ref, *, scale, num_heads, head_dim, eps,
                           f32_prec):
     """Head-major attention stage (variant 'hmqkv') — the VERDICT-r2
     "pack heads at the WEIGHT level" idea made concrete: the qkv weights
-    arrive pre-stacked (h, C, 3d) and the out-projection pre-split
-    (h, d, C), so the qkv projection itself is ONE h-batched dot whose
-    output is already head-major, the batched QK^T/AV run on contiguous
-    reshapes, and the projection contracts head-major output directly
-    (partial products summed over heads). ZERO in-kernel lane shuffles —
-    the `batched` variant still pays 3+1 per-head scratch/output copies
-    per tile; this eliminates them at the cost of re-reading y1 per head
-    in the batched projection dot (VMEM-resident, cheap)."""
+    arrive pre-stacked (h, C, 3d), so per-head projection dots emit
+    head-major output directly (leading-axis stores, no q/k/v lane-slice
+    copies) and the QK^T/AV dots run h-batched. The `batched` variant
+    pays 3+1 per-head scratch/output copies per tile; this keeps only the
+    single output-side scatter (o back to packed lanes for the standard
+    (TB*N, C) @ (C, C) projection). Mosaic constraints that shaped it,
+    all hit on real v5e hardware (interpret mode accepts everything):
+    h-batched dot over a broadcast lhs CRASHES the compiler; any
+    (TB*N, L) <-> (TB, N, L) shape cast with L not a multiple of 128
+    lanes (N=243 unaligned sublanes) is rejected, which kills both the
+    (h, TB*N, 3d) -> (h*TB, N, 3d) view and the head-major per-head
+    out-projection (its rank-3 64-lane lhs auto-flattens)."""
     C = num_heads * head_dim
     d = head_dim
     prec = jax.lax.Precision.HIGHEST if f32_prec else None
     TB, N = x_ref.shape[0], x_ref.shape[1]
 
-    x32 = x_ref[:].astype(jnp.float32).reshape(TB * N, C)
+    # Everything stays rank-3: N=243 is not sublane-aligned, so any
+    # (TB*N, ·) <-> (TB, N, ·) reshape is an unsupported Mosaic shape cast
+    # on real hardware ("infer-vector-layout: unsupported shape cast",
+    # vector<1944x192> -> vector<8x243x192>). Interpret mode accepts both.
+    x32 = x_ref[:].astype(jnp.float32)  # (TB, N, C)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
     y1 = (x32 - mu) * jax.lax.rsqrt(var + eps)
     y1 = y1 * ln1s_ref[:].astype(jnp.float32) + ln1b_ref[:].astype(jnp.float32)
     y1c = y1.astype(x_ref.dtype)
 
-    # h-batched qkv projection: lhs broadcast over heads (VMEM re-read,
-    # no copy op), output lands head-major — (h, TB*N, 3d)
-    y1b = jnp.broadcast_to(y1c.reshape(1, TB * N, C), (num_heads, TB * N, C))
-    qkv_hm = jax.lax.dot_general(
-        y1b, wqkv_hm_ref[:], dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=prec)
-    qkv_hm = (qkv_hm + bqkv_hm_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
-    # (h, TB*N, 3d) -> (h*TB, N, 3d) is a contiguous (free) reshape
-    qkv_hm = qkv_hm.reshape(num_heads * TB, N, 3 * d)
+    # Per-head qkv projection dots emitting head-major output directly.
+    # (An h-batched dot over a broadcast lhs — jnp.broadcast_to(y1c, (h,
+    # TB*N, C)) — CRASHES Mosaic on real hardware: `Check failed:
+    # limits[i] <= dim(i)` slicing the size-1 broadcast dim. Unrolling the
+    # batch axis keeps the zero-shuffle property: each (TB, N, C) @ (C, 3d)
+    # output is STORED into its leading-axis slot, never lane-sliced.)
+    parts = []
+    for hi in range(num_heads):
+        ph = jax.lax.dot_general(
+            y1c, wqkv_hm_ref[hi], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        ph = (ph + bqkv_hm_ref[hi].astype(jnp.float32)).astype(x_ref.dtype)
+        parts.append(ph)
+    qkv_hm = jnp.concatenate(parts, axis=0)  # (h*TB, N, 3d)
     q = qkv_hm[..., :d]
     k = qkv_hm[..., d : 2 * d]
     v = qkv_hm[..., 2 * d :]
@@ -521,13 +534,19 @@ def _attn_stage_kernel_hm(x_ref, wqkv_hm_ref, bqkv_hm_ref, wp_hm_ref, bp_ref,
             a, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=prec)
 
-    # out-projection stays head-major: h-batched (TB*N, d) @ (d, C) with
-    # the head partial-products summed — no packed-lane relayout
-    o_h = o.astype(x_ref.dtype).reshape(num_heads, TB * N, d)
-    proj_h = jax.lax.dot_general(
-        o_h, wp_hm_ref[:], dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=prec)
-    proj = jnp.sum(proj_h, axis=0).reshape(TB, N, C)
+    # Output side: scatter o back to the standard packed layout (h lane-
+    # offset stores into acc — the ONE copy set this variant keeps; a
+    # head-major per-head out-projection dot auto-flattens its rank-3
+    # 64-lane lhs into the same unsupported (8,243,64)->(1944,64) cast) and
+    # reuse the proven flattened (TB*N, C) @ (C, C) projection — its
+    # merge IS supported because C=512 lanes is whole vregs.
+    oc = o.astype(x_ref.dtype)
+    for hi in range(num_heads):
+        acc_ref[:, :, hi * d : (hi + 1) * d] = oc[hi * TB : (hi + 1) * TB]
+    proj = jax.lax.dot_general(
+        acc_ref[:].reshape(TB * N, C), wp_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec).reshape(TB, N, C)
 
     x2 = x_ref[:].astype(jnp.float32) + proj + bp_ref[:].astype(jnp.float32)
     x2_ref[:] = x2.astype(x2_ref.dtype)
@@ -737,8 +756,9 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
 
     if variant == "hmqkv" and not mask_block:
         # pack heads at the WEIGHT level, outside the kernel: qkv weights
-        # stacked head-major (h, C, 3d), bias (h, 1, 3d), out-projection
-        # split (h, d, C) (a free contiguous reshape of wp's rows)
+        # stacked head-major (h, C, 3d), bias (h, 1, 3d); the out-
+        # projection stays the standard (C, C) (the head-major per-head
+        # projection dot is Mosaic-unsupported — see kernel docstring)
         h = num_heads
         wqkv_hm = jnp.stack([
             jnp.concatenate([wqkv[:, i * d : (i + 1) * d],
@@ -750,13 +770,10 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
         bqkv_hm = jnp.stack([
             jnp.concatenate([b3[0, i], b3[1, i], b3[2, i]]) for i in range(h)
         ]).reshape(h, 1, 3 * d)
-        wp_hm = wp.reshape(h, d, C)
         whm_spec = pl.BlockSpec((h, C, 3 * d), lambda i: (0, 0, 0),
                                 memory_space=mem)
         bhm_spec = pl.BlockSpec((h, 1, 3 * d), lambda i: (0, 0, 0),
                                 memory_space=mem)
-        wphm_spec = pl.BlockSpec((h, d, C), lambda i: (0, 0, 0),
-                                 memory_space=mem)
         return pl.pallas_call(
             partial(_attn_stage_kernel_hm, scale=scale, num_heads=h,
                     head_dim=d, eps=eps, f32_prec=(x.dtype == jnp.float32)),
@@ -765,9 +782,10 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
                 jax.ShapeDtypeStruct((B, N, C), x.dtype),
             ),
             grid=(B // tb,),
-            in_specs=[row_spec, whm_spec, bhm_spec, wphm_spec, vc_spec,
+            in_specs=[row_spec, whm_spec, bhm_spec, wp_spec, vc_spec,
                       vc_spec, vc_spec, vc_spec, vc_spec],
             out_specs=(row_spec, row_spec),
+            scratch_shapes=[pltpu.VMEM((tb, N, C), x.dtype)],
             interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
@@ -777,7 +795,7 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
                 bytes_accessed=3 * B * N * C * x.dtype.itemsize,
                 transcendentals=B * num_heads * N * N,
             ),
-        )(x, wqkv_hm, bqkv_hm, wp_hm, bp.reshape(1, C), ln1_s.reshape(1, C),
+        )(x, wqkv_hm, bqkv_hm, wp, bp.reshape(1, C), ln1_s.reshape(1, C),
           ln1_b.reshape(1, C), ln2_s.reshape(1, C), ln2_b.reshape(1, C))
 
     x2, y2 = pl.pallas_call(

@@ -80,8 +80,8 @@ def test_load_reference_bin(tmp_path, rng):
         jax.tree_util.tree_map(jnp.asarray, ckpt["params"]), x2d, x3d, t))
     with torch.no_grad():
         expected = model(
-            torch.from_numpy(np.asarray(x2d)),
-            torch.from_numpy(np.asarray(x3d)),
+            torch.from_numpy(np.array(x2d)),
+            torch.from_numpy(np.array(x3d)),
             torch.zeros(2, dtype=torch.long),
         ).numpy()
     np.testing.assert_allclose(got, expected, atol=1e-4)
