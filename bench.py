@@ -40,7 +40,7 @@ def parse_args():
                         "interval (0 = off, the canonical driver number)")
     p.add_argument("--ddim-reuse-tap", type=int, default=2)
     p.add_argument("--fuse-level", type=int, default=4,
-                   choices=[0, 1, 2, 3, 4],
+                   choices=[0, 1, 2, 3, 4, 5],
                    help="Pallas kernel-fusion ladder level (see "
                         "d3dp_tpu/models/mixste.py MixSTEConfig)")
     p.add_argument("--dp", type=int, default=0,
