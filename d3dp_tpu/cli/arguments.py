@@ -167,6 +167,16 @@ def build_parser(in_the_wild=False):
                         help="force a JAX platform (e.g. cpu); empty = default")
     parser.add_argument("--num-virtual-devices", type=int, default=0,
                         help="with --platform cpu: create N virtual devices")
+    parser.add_argument("--ckpt-format", default="pickle",
+                        choices=["pickle", "orbax"],
+                        help="checkpoint backend: 'pickle' = one atomic "
+                             "self-contained file (default); 'orbax' = "
+                             "directory format, sharding-aware, with ASYNC "
+                             "periodic saves (serialization overlaps "
+                             "training; the run drains pending saves before "
+                             "exit). Same logical payload either way "
+                             "({epoch, lr, random_state, optimizer, model}); "
+                             "--resume/--evaluate accept both")
     parser.add_argument("--input-pipeline", default="thread",
                         choices=["thread", "grain"],
                         help="training input pipeline: 'thread' = background "

@@ -70,21 +70,31 @@ def _load_data(args):
     return p3_train, p2_train, p3_test, p2_test, valid
 
 
-def run_training(args, data, d3dp_train, d3dp_valid, params, writer=None):
+def run_training(args, data, d3dp_train, d3dp_valid, params, writer=None,
+                 mesh=None):
     import copy
     import jax
     import jax.numpy as jnp
     from d3dp_tpu.data.generators import ChunkedGenerator, UnchunkedGenerator
     from d3dp_tpu.eval.evaluator_3dhp import Evaluator3DHP
+    from d3dp_tpu.parallel import round_up_batch, shard_batch_fn
     from d3dp_tpu.train.state import (
         TrainState, make_optimizer, make_train_step, get_lr, set_lr)
-    from d3dp_tpu.train.checkpoint_io import save_checkpoint
+    from d3dp_tpu.train.checkpoint_io import (
+        save_checkpoint_any, wait_for_checkpoints)
 
     p3_train, p2_train, p3_test, p2_test, valid = data
 
+    def _shard(p):
+        if mesh is None:
+            return p
+        from d3dp_tpu.parallel import shard_params
+
+        return {"params": shard_params(p["params"], mesh)}
+
     lr = args.learning_rate
     tx = make_optimizer(lr, weight_decay=0.1)
-    state = TrainState.create(params, tx)
+    state = TrainState.create(_shard(params), tx, mesh=mesh)
     step = make_train_step(d3dp_train, tx, root_joint=ROOT_JOINT)
 
     train_generator = ChunkedGenerator(
@@ -102,7 +112,8 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer=None):
 
     validator = Evaluator3DHP(
         d3dp_valid, receptive_field=args.number_of_frames,
-        batch_size=args.eval_batch_size or 2, quickdebug=args.debug)
+        batch_size=round_up_batch(args.eval_batch_size or 2, mesh),
+        quickdebug=args.debug, mesh=mesh)
 
     epoch, min_loss = 0, args.min_loss
     key = jax.random.PRNGKey(args.seed)
@@ -111,13 +122,17 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer=None):
     # full resume: epoch, optimizer, lr, generator RNG (reference
     # main_3dhp.py:377-385); run_with_args already restored the weights
     if args.resume:
-        from d3dp_tpu.train.checkpoint_io import load_checkpoint
+        from d3dp_tpu.train.checkpoint_io import load_any
 
-        ckpt = load_checkpoint(os.path.join(args.checkpoint, args.resume))
+        ckpt = load_any(os.path.join(args.checkpoint, args.resume),
+                        depth=args.dep)
         epoch = ckpt["epoch"]
         if ckpt.get("opt_state") is not None:
-            state = state.replace(
-                opt_state=jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"]))
+            from d3dp_tpu.train.checkpoint_io import restore_opt_state
+
+            # leaves matched positionally onto the live treedef + shardings
+            state = state.replace(opt_state=restore_opt_state(
+                state.opt_state, ckpt["opt_state"]))
             if ckpt.get("random_state") is not None:
                 train_generator.set_random_state(ckpt["random_state"])
         else:
@@ -134,18 +149,19 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer=None):
         step_losses, step_weights = [], []
         from d3dp_tpu.data.prefetch import Prefetcher, device_put_batches
 
+        # under a mesh, batches are dp-sharded (weight-0 padded to a dp
+        # multiple); weights stay host-side either way: their sum is the
+        # step count and must not force a device sync
+        to_device = (shard_batch_fn(mesh) if mesh is not None
+                     else device_put_batches(1, 2))
         if args.input_pipeline == "grain":
             from d3dp_tpu.data.grain_pipeline import GrainChunkedPipeline
 
             batches = GrainChunkedPipeline(
-                train_generator,
-                to_device=device_put_batches(1, 2)).next_epoch()
+                train_generator, to_device=to_device).next_epoch()
         else:
             batches = Prefetcher(
-                train_generator.next_epoch(),
-                to_device=device_put_batches(1, 2), depth=2)  # weights stay
-        # host-side: their sum is the step count and must not force a
-        # device sync
+                train_generator.next_epoch(), to_device=to_device, depth=2)
         for batch in batches:
             _, b3, b2, w = batch
             key, sub = jax.random.split(key)
@@ -185,28 +201,35 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer=None):
         state = state.replace(opt_state=set_lr(state.opt_state, lr))
         epoch += 1
 
+        ckpt_ext = "orbax" if args.ckpt_format == "orbax" else "ckpt"
+
         def _save(path):
-            save_checkpoint(
-                path, epoch=epoch, lr=lr, params=state.params,
+            save_checkpoint_any(
+                path, args.ckpt_format, epoch=epoch, lr=lr,
+                params=state.params,
                 opt_state=state.opt_state,
                 generator_random_state=copy.deepcopy(
                     train_generator.random_state()),
-                min_loss=min_loss)
+                min_loss=min_loss,
+                wait=False)
 
         if epoch % args.checkpoint_frequency == 0:
-            chk_path = os.path.join(args.checkpoint, f"epoch_{epoch}.ckpt")
+            chk_path = os.path.join(args.checkpoint, f"epoch_{epoch}.{ckpt_ext}")
             print("Saving checkpoint to", chk_path)
             _save(chk_path)
         if valid_pbest is not None and valid_pbest < min_loss:
             min_loss = valid_pbest
             print("save best checkpoint")
-            _save(os.path.join(args.checkpoint, "best_epoch.ckpt"))
+            _save(os.path.join(args.checkpoint, f"best_epoch.{ckpt_ext}"))
+    wait_for_checkpoints()  # drain pending async orbax saves before exit
     return state
 
 
-def run_evaluation(args, data, d3dp_eval, params, key, noise_provider=None):
+def run_evaluation(args, data, d3dp_eval, params, key, noise_provider=None,
+                   mesh=None):
     from d3dp_tpu.data.generators import UnchunkedGenerator
     from d3dp_tpu.eval.evaluator_3dhp import Evaluator3DHP
+    from d3dp_tpu.parallel import round_up_batch
 
     _, _, p3_test, p2_test, valid = data
     test_keys = list(p2_test.keys())
@@ -216,9 +239,13 @@ def run_evaluation(args, data, d3dp_eval, params, key, noise_provider=None):
         joints_right=KPS_RIGHT,
         valid_frames=[valid[k] for k in test_keys], keys=test_keys)
 
+    eval_bs = round_up_batch(args.eval_batch_size or 2, mesh)
+    if mesh is not None and eval_bs != (args.eval_batch_size or 2):
+        print(f"INFO: eval batch size rounded up to {eval_bs} (multiple of "
+              f"the dp={mesh.shape['dp']} mesh axis)")
     evaluator = Evaluator3DHP(
         d3dp_eval, receptive_field=args.number_of_frames,
-        batch_size=args.eval_batch_size or 2, quickdebug=args.debug)
+        batch_size=eval_bs, quickdebug=args.debug, mesh=mesh)
     results, exports = evaluator.evaluate(
         params, test_generator, key, export_dir=args.checkpoint,
         noise_provider=noise_provider)
@@ -304,13 +331,24 @@ def main(argv=None):
 
         params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
 
+    # multi-device by default, mirroring the reference's unconditional
+    # DataParallel wrap (main_3dhp.py:257-264)
+    from d3dp_tpu.parallel import auto_mesh, shard_params
+
+    mesh = auto_mesh(args.dp, args.tp)
+    if mesh is not None:
+        print(f"INFO: {mesh.devices.size}-device mesh "
+              f"(dp={mesh.shape['dp']}, tp={mesh.shape['tp']})")
+
     if args.evaluate:
         print("Evaluating...")
+        if mesh is not None:
+            params = {"params": shard_params(params["params"], mesh)}
         key, sub = jax.random.split(key)
-        run_evaluation(args, data, d3dp_eval, params, sub)
+        run_evaluation(args, data, d3dp_eval, params, sub, mesh=mesh)
     else:
         run_training(args, data, d3dp_train, d3dp_valid, params,
-                     writer=writer)
+                     writer=writer, mesh=mesh)
     if writer is not None:
         writer.close()
 

@@ -116,16 +116,22 @@ def report_result(args, result, action=None):
         _print_and_log(f, "----------")
 
 
-def run_evaluation(args, data, d3dp_eval, params, key, noise_provider=None):
+def run_evaluation(args, data, d3dp_eval, params, key, noise_provider=None,
+                   mesh=None):
     """Action-wise evaluation driver. (reference: main.py:901-1046)
 
     `noise_provider` (optional) is forwarded to Evaluator.evaluate for
     deterministic replay of the reference's DDIM noise stream (the
     whole-pipeline parity harness, tests/test_pipeline_parity.py).
+
+    `mesh` (optional): eval micro-batches shard over its 'dp' axis — the
+    TPU-native replacement for the reference's DataParallel-wrapped eval
+    models (main.py:241-248).
     """
     import jax
     from d3dp_tpu.data.generators import UnchunkedGenerator
     from d3dp_tpu.eval import Evaluator
+    from d3dp_tpu.parallel import round_up_batch
 
     subjects_test = args.subjects_test.split(",")
     action_filter = None if args.actions == "*" else args.actions.split(",")
@@ -140,14 +146,20 @@ def run_evaluation(args, data, d3dp_eval, params, key, noise_provider=None):
             all_actions_by_subject[subject].setdefault(action_name, []).append(
                 (subject, action))
 
+    eval_bs = round_up_batch(args.eval_batch_size or args.batch_size, mesh)
+    if eval_bs != (args.eval_batch_size or args.batch_size):
+        print(f"INFO: eval batch size rounded up to {eval_bs} (multiple of "
+              f"the dp={mesh.shape['dp']} mesh axis; extra rows are weight-0 "
+              "padding windows)")
     evaluator = Evaluator(
         d3dp_eval,
         receptive_field=args.number_of_frames,
-        batch_size=args.eval_batch_size or args.batch_size,
+        batch_size=eval_bs,
         kps_left=data.kps_left,
         kps_right=data.kps_right,
         p2=args.p2,
         quickdebug=args.debug,
+        mesh=mesh,
     )
 
     def fetch_actions(actions):
@@ -235,16 +247,32 @@ def run_evaluation(args, data, d3dp_eval, params, key, noise_provider=None):
 
 
 def run_training(args, data, d3dp_train, d3dp_valid, params, writer,
-                 resume_ckpt=None):
-    """Training loop. (reference: main.py:304-592)"""
+                 resume_ckpt=None, mesh=None):
+    """Training loop. (reference: main.py:304-592)
+
+    `mesh` (optional): train batches shard over its 'dp' axis and the
+    params/optimizer state over its 'tp' rules — the TPU-native
+    replacement for the reference's DataParallel training (main.py:241-248,
+    scatter/gather replaced by GSPMD collectives over ICI)."""
     import copy
     import jax
     import jax.numpy as jnp
     from d3dp_tpu.data.generators import ChunkedGenerator, UnchunkedGenerator
     from d3dp_tpu.eval import Evaluator
+    from d3dp_tpu.parallel import round_up_batch, shard_batch_fn
     from d3dp_tpu.train.state import (
         TrainState, make_optimizer, make_train_step, get_lr, set_lr)
-    from d3dp_tpu.train.checkpoint_io import save_checkpoint, load_checkpoint
+    from d3dp_tpu.train.checkpoint_io import (
+        save_checkpoint_any, load_any, restore_opt_state,
+        wait_for_checkpoints)
+
+    def _shard(p):
+        """Params onto the mesh (tp rules; no-op without a mesh)."""
+        if mesh is None:
+            return p
+        from d3dp_tpu.parallel import shard_params
+
+        return {"params": shard_params(p["params"], mesh)}
 
     subjects_train = args.subjects_train.split(",")
     subjects_test = args.subjects_test.split(",")
@@ -258,7 +286,8 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer,
 
     lr = args.learning_rate
     tx = make_optimizer(lr, weight_decay=0.1)
-    state = TrainState.create(params, tx)
+    # sharded params make optax init produce identically-sharded moments
+    state = TrainState.create(_shard(params), tx, mesh=mesh)
     step = make_train_step(d3dp_train, tx)
 
     train_generator = ChunkedGenerator(
@@ -278,9 +307,11 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer,
 
     validator = Evaluator(
         d3dp_valid, receptive_field=args.number_of_frames,
-        batch_size=args.eval_batch_size or args.batch_size,
+        batch_size=round_up_batch(
+            args.eval_batch_size or args.batch_size, mesh),
         kps_left=data.kps_left,
         kps_right=data.kps_right, quickdebug=args.debug, light=True,
+        mesh=mesh,
     )
 
     epoch = 0
@@ -289,14 +320,17 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer,
     key = jax.random.PRNGKey(args.seed)
 
     if args.resume:
-        ckpt = resume_ckpt or load_checkpoint(
-            os.path.join(args.checkpoint, args.resume))
+        ckpt = resume_ckpt or load_any(
+            os.path.join(args.checkpoint, args.resume), depth=args.dep)
         epoch = ckpt["epoch"]
         state = TrainState.create(
-            jax.tree_util.tree_map(jnp.asarray, ckpt["params"]), tx)
+            _shard(jax.tree_util.tree_map(jnp.asarray, ckpt["params"])), tx,
+            mesh=mesh)
         if ckpt.get("opt_state") is not None:
-            state = state.replace(
-                opt_state=jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"]))
+            # leaves matched positionally onto the live treedef + shardings
+            # (handles both pickle namedtuples and orbax dict trees)
+            state = state.replace(opt_state=restore_opt_state(
+                state.opt_state, ckpt["opt_state"]))
             if ckpt.get("random_state") is not None:
                 train_generator.set_random_state(ckpt["random_state"])
         else:
@@ -327,18 +361,19 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer,
         step_losses, step_weights = [], []
         from d3dp_tpu.data.prefetch import Prefetcher, device_put_batches
 
+        # under a mesh, batches are dp-sharded (and padded with weight-0
+        # rows to a dp multiple); weights stay host-side either way: their
+        # sum is the step count and must not force a device sync
+        to_device = (shard_batch_fn(mesh) if mesh is not None
+                     else device_put_batches(1, 2))
         if args.input_pipeline == "grain":
             from d3dp_tpu.data.grain_pipeline import GrainChunkedPipeline
 
             batches = GrainChunkedPipeline(
-                train_generator,
-                to_device=device_put_batches(1, 2)).next_epoch()
+                train_generator, to_device=to_device).next_epoch()
         else:
             batches = Prefetcher(
-                train_generator.next_epoch(),
-                to_device=device_put_batches(1, 2), depth=2)  # weights stay
-        # host-side: their sum is the step count and must not force a
-        # device sync
+                train_generator.next_epoch(), to_device=to_device, depth=2)
         for batch in batches:
             cam, b3, b2, w = batch
             key, sub = jax.random.split(key)
@@ -387,11 +422,14 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer,
         state = state.replace(opt_state=set_lr(state.opt_state, lr))
         epoch += 1
 
+        ckpt_ext = "orbax" if args.ckpt_format == "orbax" else "ckpt"
+
         def _save(path):
             import copy as _copy
 
-            save_checkpoint(
+            save_checkpoint_any(
                 path,
+                args.ckpt_format,
                 epoch=epoch,
                 lr=lr,
                 params=state.params,
@@ -399,17 +437,18 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer,
                 generator_random_state=_copy.deepcopy(
                     train_generator.random_state()),
                 min_loss=min_loss,
+                wait=False,  # orbax: serialization overlaps the next epoch
             )
 
         if epoch % args.checkpoint_frequency == 0:
-            chk_path = os.path.join(args.checkpoint, f"epoch_{epoch}.ckpt")
+            chk_path = os.path.join(args.checkpoint, f"epoch_{epoch}.{ckpt_ext}")
             print("Saving checkpoint to", chk_path)
             _save(chk_path)
 
         if valid_pbest is not None and valid_pbest < min_loss:
             min_loss = valid_pbest
             print("save best checkpoint")
-            _save(os.path.join(args.checkpoint, "best_epoch.ckpt"))
+            _save(os.path.join(args.checkpoint, f"best_epoch.{ckpt_ext}"))
             with open(log_path, "a") as f:
                 f.write("best epoch\n")
 
@@ -436,6 +475,7 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer,
             plt.savefig(os.path.join(args.checkpoint, "loss_3d.png"))
             plt.close("all")
 
+    wait_for_checkpoints()  # drain pending async orbax saves before exit
     return state
 
 
@@ -499,18 +539,32 @@ def run_with_args(args):
 
         params = jax.tree_util.tree_map(jnp.asarray, loaded_ckpt["params"])
 
+    # multi-device by default, like the reference's unconditional
+    # nn.DataParallel wrap (main.py:241-248): all visible devices form a
+    # data-parallel mesh unless --dp/--tp say otherwise
+    from d3dp_tpu.parallel import auto_mesh, shard_params
+
+    mesh = auto_mesh(args.dp, args.tp)
+    if mesh is not None:
+        print(f"INFO: {mesh.devices.size}-device mesh "
+              f"(dp={mesh.shape['dp']}, tp={mesh.shape['tp']})")
+
     if args.evaluate:
         print("Evaluating...")
+        if mesh is not None:
+            params = {"params": shard_params(params["params"], mesh)}
         key, sub = jax.random.split(key)
-        run_evaluation(args, data, d3dp_eval, params, sub)
+        run_evaluation(args, data, d3dp_eval, params, sub, mesh=mesh)
     elif args.render:
         print("Rendering...")
         from d3dp_tpu.cli.render import run_render
 
-        run_render(args, data, d3dp_eval, params, key)
+        if mesh is not None:
+            params = {"params": shard_params(params["params"], mesh)}
+        run_render(args, data, d3dp_eval, params, key, mesh=mesh)
     else:
         run_training(args, data, d3dp_train, d3dp_valid, params, writer,
-                     resume_ckpt=loaded_ckpt)
+                     resume_ckpt=loaded_ckpt, mesh=mesh)
 
     if writer is not None:
         writer.close()

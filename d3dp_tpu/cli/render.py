@@ -14,7 +14,7 @@ from d3dp_tpu.eval import Evaluator
 import jax.numpy as jnp
 
 
-def run_render(args, data, d3dp_eval, params, key):
+def run_render(args, data, d3dp_eval, params, key, mesh=None):
     input_keypoints = data.keypoints[args.viz_subject][args.viz_action][
         args.viz_camera].copy()
     ground_truth = None
@@ -34,10 +34,13 @@ def run_render(args, data, d3dp_eval, params, key):
         kps_left=data.kps_left, kps_right=data.kps_right,
         joints_left=data.joints_left, joints_right=data.joints_right,
     )
+    from d3dp_tpu.parallel import round_up_batch
+
     evaluator = Evaluator(
         d3dp_eval, receptive_field=args.number_of_frames,
-        batch_size=args.batch_size, kps_left=data.kps_left,
-        kps_right=data.kps_right,
+        batch_size=round_up_batch(args.batch_size, mesh),
+        kps_left=data.kps_left,
+        kps_right=data.kps_right, mesh=mesh,
     )
     preds = evaluator.evaluate(params, gen, key, return_predictions=True)
     # (W, K, H, F, J, 3): take final DDIM step, first hypothesis (like the

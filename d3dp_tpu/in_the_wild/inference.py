@@ -122,11 +122,24 @@ def video_frame_size(video_path):
     return w, h
 
 
-def sample_video_keypoints(d3dp, params, keypoints_norm, rf, bs, key):
-    """2D-only windowed sampling -> stitched (K, H, Ftot, 17, 3)."""
+def sample_video_keypoints(d3dp, params, keypoints_norm, rf, bs, key,
+                           mesh=None):
+    """2D-only windowed sampling -> stitched (K, H, Ftot, 17, 3).
+
+    `mesh` (optional): windows shard over its 'dp' axis — the TPU-native
+    replacement for the reference's DataParallel wrap
+    (videopose_diffusion.py:101)."""
     import jax
     import jax.numpy as jnp
     from d3dp_tpu.data.windowing import window_sequence, stitch_windows
+
+    put = jnp.asarray
+    if mesh is not None:
+        from d3dp_tpu.parallel import batch_sharding, round_up_batch
+
+        bs = round_up_batch(bs, mesh)
+        sh = batch_sharding(mesh)
+        put = lambda x: jax.device_put(np.asarray(x), sh)
 
     kl, kr = COCO_METADATA["keypoints_symmetry"]
     seq_flip = keypoints_norm.copy()
@@ -147,7 +160,7 @@ def sample_video_keypoints(d3dp, params, keypoints_norm, rf, bs, key):
             a = np.concatenate([a, np.repeat(a[:1], pad, 0)], 0)
             b = np.concatenate([b, np.repeat(b[:1], pad, 0)], 0)
         key, sub = jax.random.split(key)
-        out = np.asarray(sample(params, sub, jnp.asarray(a), jnp.asarray(b)))
+        out = np.asarray(sample(params, sub, put(a), put(b)))
         parts.append(out[: hi - lo])
     preds = np.concatenate(parts, 0)  # (W,K,H,rf,J,3)
 
@@ -194,11 +207,21 @@ def main(args):
     ckpt = load_any(args.evaluate, depth=args.dep)
     params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
 
+    # multi-device by default (reference: DataParallel wrap,
+    # videopose_diffusion.py:101-102)
+    from d3dp_tpu.parallel import auto_mesh, shard_params
+
+    mesh = auto_mesh(args.dp, args.tp)
+    if mesh is not None:
+        print(f"INFO: {mesh.devices.size}-device mesh "
+              f"(dp={mesh.shape['dp']}, tp={mesh.shape['tp']})")
+        params = {"params": shard_params(params["params"], mesh)}
+
     key = jax.random.PRNGKey(args.seed)
     with Timer("sampling"):
         prediction = sample_video_keypoints(
             d3dp, params, keypoints_norm, args.number_of_frames,
-            max(args.batch_size // args.number_of_frames, 1), key)
+            max(args.batch_size // args.number_of_frames, 1), key, mesh=mesh)
 
     save_dir = os.path.join("outputs", args.video_name)
     os.makedirs(save_dir, exist_ok=True)

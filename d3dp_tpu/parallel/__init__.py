@@ -1,10 +1,14 @@
 from d3dp_tpu.parallel.mesh import (
     make_mesh,
+    auto_mesh,
+    round_up_batch,
+    shard_batch_fn,
     batch_sharding,
     step_noise_sharding,
     replicated_sharding,
     mixste_param_spec,
     shard_params,
+    replicate_stray_leaves,
 )
 from d3dp_tpu.parallel.multihost import (
     initialize_multihost,
@@ -14,11 +18,15 @@ from d3dp_tpu.parallel.multihost import (
 
 __all__ = [
     "make_mesh",
+    "auto_mesh",
+    "round_up_batch",
+    "shard_batch_fn",
     "batch_sharding",
     "step_noise_sharding",
     "replicated_sharding",
     "mixste_param_spec",
     "shard_params",
+    "replicate_stray_leaves",
     "initialize_multihost",
     "global_batch",
     "host_slice",

@@ -29,6 +29,64 @@ def make_mesh(dp=None, tp=1, devices=None):
     return Mesh(dev_array, axis_names=("dp", "tp"))
 
 
+def auto_mesh(dp=0, tp=1, devices=None):
+    """Mesh from the CLI's --dp/--tp flags, mirroring the reference's
+    multi-device-by-default behaviour (nn.DataParallel wraps every model
+    unconditionally, main.py:241-248): with no explicit request (dp=0,
+    tp=1) all visible devices become data-parallel. Returns None when the
+    resolved mesh is a single device — callers then skip sharding entirely.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    tp = max(tp, 1)
+    if tp > n:
+        raise ValueError(f"--tp {tp} exceeds the {n} visible devices")
+    if dp <= 0:
+        dp = max(n // tp, 1)
+    if dp * tp == 1:
+        return None
+    return make_mesh(dp=dp, tp=tp, devices=devices[: dp * tp])
+
+
+def round_up_batch(batch_size, mesh):
+    """Smallest multiple of the dp size >= batch_size (eval micro-batches
+    must divide over 'dp'; the extra rows are weight-0 padding windows, so
+    metrics are unchanged)."""
+    if mesh is None:
+        return batch_size
+    dp = mesh.shape["dp"]
+    return -(-batch_size // dp) * dp
+
+
+def shard_batch_fn(mesh, array_indices=(1, 2), weights_index=3):
+    """to_device factory for the training Prefetcher under a mesh: pad the
+    batch rows to a multiple of the dp size with zero-weight rows (the
+    weighted loss is identical to the unsharded run), then device_put the
+    array members with the batch sharding. The weights member is padded
+    but stays host-side numpy — the train loop reads w.sum() for its step
+    count without forcing a device sync."""
+    bs = batch_sharding(mesh)
+    dp = mesh.shape["dp"]
+
+    def fn(batch):
+        out = list(batch)
+        n = out[weights_index].shape[0]
+        pad = (-n) % dp
+        if pad:
+            for i in array_indices:
+                if out[i] is not None:
+                    z = ((0, pad),) + ((0, 0),) * (out[i].ndim - 1)
+                    out[i] = np.pad(out[i], z)
+            out[weights_index] = np.pad(
+                np.asarray(out[weights_index]), (0, pad))
+        for i in array_indices:
+            if out[i] is not None:
+                out[i] = jax.device_put(out[i], bs)
+        return tuple(out)
+
+    return fn
+
+
 def batch_sharding(mesh):
     """Leading-axis batch sharding over 'dp'."""
     return NamedSharding(mesh, P("dp"))
@@ -74,3 +132,21 @@ def shard_params(params, mesh):
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
+
+
+def replicate_stray_leaves(tree, mesh):
+    """Replicate onto the mesh any array leaf not already mesh-placed.
+
+    optax state created from sharded params inherits their NamedShardings
+    via zeros_like, but scalar leaves (step count, injected hyperparams)
+    materialize on the default device — jit then rejects the mixed device
+    sets. This placement is what makes a sharded TrainState jittable."""
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        if isinstance(x, jax.Array) and not isinstance(
+                x.sharding, NamedSharding):
+            return jax.device_put(x, rep)
+        return x
+
+    return jax.tree_util.tree_map(place, tree)

@@ -40,26 +40,48 @@ def load_checkpoint(path):
 
 
 def latest_checkpoint(directory):
-    """Newest epoch_N.ckpt in a directory, or best_epoch.ckpt, or None —
-    enables `--resume auto` elastic restart after interruption."""
+    """Newest epoch_N.{ckpt,orbax} in a directory, or best_epoch.*, or None
+    — enables `--resume auto` elastic restart after interruption."""
     import glob
     import re
 
-    candidates = glob.glob(os.path.join(directory, "epoch_*.ckpt"))
+    candidates = (glob.glob(os.path.join(directory, "epoch_*.ckpt"))
+                  + glob.glob(os.path.join(directory, "epoch_*.orbax")))
     if candidates:
         return max(candidates,
                    key=lambda p: int(re.findall(r"epoch_(\d+)", p)[0]))
-    best = os.path.join(directory, "best_epoch.ckpt")
-    return best if os.path.exists(best) else None
+    for name in ("best_epoch.ckpt", "best_epoch.orbax"):
+        best = os.path.join(directory, name)
+        if os.path.exists(best):
+            return best
+    return None
 
 
 _async_checkpointer = None
 
 
+def _pack_random_state(rs):
+    """numpy RandomState tuple -> uint8 array leaf (orbax stores array
+    pytrees; the state round-trips through our own pickle bytes)."""
+    if rs is None:
+        return None
+    return np.frombuffer(
+        pickle.dumps(rs, protocol=pickle.HIGHEST_PROTOCOL), np.uint8).copy()
+
+
+def _unpack_random_state(arr):
+    if arr is None:
+        return None
+    return pickle.loads(np.asarray(arr, np.uint8).tobytes())
+
+
 def save_checkpoint_orbax(directory, *, epoch, lr, params, opt_state=None,
-                          min_loss=None, wait=True):
-    """Orbax backend: same logical payload in a sharding-aware, async-capable
-    format (preferred for multi-host runs; the pickle format stays the
+                          generator_random_state=None, min_loss=None,
+                          wait=True):
+    """Orbax backend: same logical payload as the pickle format — the
+    reference contract {epoch, lr, random_state, optimizer, model_pos}
+    (main.py:539-572) — in a sharding-aware, async-capable format
+    (preferred for multi-host runs; the pickle format stays the
     single-host default for its self-containedness).
 
     wait=False makes the save asynchronous: the device-to-host copy happens
@@ -72,6 +94,7 @@ def save_checkpoint_orbax(directory, *, epoch, lr, params, opt_state=None,
     payload = {
         "params": _to_numpy(params),
         "opt_state": None if opt_state is None else _to_numpy(opt_state),
+        "random_state": _pack_random_state(generator_random_state),
         "meta": {"epoch": epoch, "lr": lr, "min_loss": min_loss},
     }
     if _async_checkpointer is None:
@@ -96,24 +119,69 @@ def wait_for_checkpoints():
 def load_checkpoint_orbax(directory):
     import orbax.checkpoint as ocp
 
+    wait_for_checkpoints()  # a pending async save of this dir must commit
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(os.path.abspath(directory))
     meta = payload.get("meta", {})
+
+    def scalar(x):
+        return None if x is None else np.asarray(x).item()
+
     return {
         "params": payload["params"],
         "opt_state": payload.get("opt_state"),
-        "epoch": meta.get("epoch"),
-        "lr": meta.get("lr"),
-        "min_loss": meta.get("min_loss"),
-        "random_state": None,
+        "epoch": scalar(meta.get("epoch")),
+        "lr": scalar(meta.get("lr")),
+        "min_loss": scalar(meta.get("min_loss")),
+        "random_state": _unpack_random_state(payload.get("random_state")),
     }
 
 
+def restore_opt_state(ref_opt_state, loaded):
+    """Rebuild a live optimizer state from a checkpoint payload.
+
+    `loaded` may be the optax namedtuple tree (pickle format) or the
+    dict/list tree orbax restores it as — either way the LEAVES are in
+    tree_flatten order of the same logical structure, so they are matched
+    positionally onto the live state's treedef and device_put with each
+    reference leaf's sharding (mesh-aware resume). Shapes are checked
+    leaf-by-leaf to catch container-flavor mismatches."""
+    ref_leaves, treedef = jax.tree_util.tree_flatten(ref_opt_state)
+    loaded_leaves = jax.tree_util.tree_leaves(loaded)
+    if len(ref_leaves) != len(loaded_leaves):
+        raise ValueError(
+            f"optimizer state leaf count mismatch: checkpoint has "
+            f"{len(loaded_leaves)}, live optimizer expects {len(ref_leaves)}"
+        )
+    out = []
+    for ref, x in zip(ref_leaves, loaded_leaves):
+        x = np.asarray(x)
+        if tuple(x.shape) != tuple(ref.shape):
+            raise ValueError(
+                f"optimizer state leaf shape mismatch: checkpoint "
+                f"{x.shape} vs live {ref.shape}")
+        out.append(jax.device_put(x.astype(ref.dtype), ref.sharding))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def save_checkpoint_any(path, fmt="pickle", **kw):
+    """Dispatch on --ckpt-format: 'pickle' (atomic single file) or 'orbax'
+    (directory; pass wait=False for async periodic saves)."""
+    if fmt == "orbax":
+        save_checkpoint_orbax(path, **kw)
+    else:
+        kw.pop("wait", None)
+        save_checkpoint(path, **kw)
+
+
 def load_any(path, depth=8):
-    """Load either our .ckpt pickle or a reference torch .bin.
+    """Load our .ckpt pickle, an orbax checkpoint directory, or a reference
+    torch .bin.
 
     Returns dict with at least {'params': flax-params-pytree, 'epoch', 'lr'}.
     """
+    if os.path.isdir(path):
+        return load_checkpoint_orbax(path)
     try:
         payload = load_checkpoint(path)
         if isinstance(payload, dict) and "params" in payload:

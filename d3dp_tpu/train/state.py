@@ -33,12 +33,19 @@ class TrainState:
     step: jnp.ndarray
 
     @classmethod
-    def create(cls, params, tx):
-        return cls(
-            params=params,
-            opt_state=tx.init(params["params"] if "params" in params else params),
-            step=jnp.zeros((), jnp.int32),
-        )
+    def create(cls, params, tx, mesh=None):
+        """`mesh`: pass when `params` are mesh-sharded — the optimizer
+        moments inherit their shardings automatically, but stray scalar
+        leaves (step count, injected lr) must be replicated onto the mesh
+        for the state to be jittable."""
+        opt_state = tx.init(params["params"] if "params" in params else params)
+        step = jnp.zeros((), jnp.int32)
+        if mesh is not None:
+            from d3dp_tpu.parallel import replicate_stray_leaves
+
+            opt_state = replicate_stray_leaves(opt_state, mesh)
+            step = replicate_stray_leaves(step, mesh)
+        return cls(params=params, opt_state=opt_state, step=step)
 
 
 def get_lr(opt_state):

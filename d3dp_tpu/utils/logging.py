@@ -25,17 +25,33 @@ class Logger:
 
 
 class TensorBoardWriter:
-    """Lazy SummaryWriter wrapper; no-op when tensorboard is unavailable."""
+    """Lazy SummaryWriter wrapper.
+
+    Backends, in order: torch's SummaryWriter, then tensorboardX (the
+    torch-free fallback for TPU deployments). When neither imports, the
+    writer no-ops — with a visible warning, so a torch-free box doesn't
+    silently lose all scalar logging."""
 
     def __init__(self, logdir, enabled=True):
         self._writer = None
-        if enabled:
+        if not enabled:
+            return
+        for modname in ("torch.utils.tensorboard", "tensorboardX"):
             try:
-                from torch.utils.tensorboard import SummaryWriter
+                import importlib
 
-                self._writer = SummaryWriter(logdir)
+                mod = importlib.import_module(modname)
+                self._writer = mod.SummaryWriter(logdir)
+                return
             except Exception:
-                self._writer = None
+                continue
+        import warnings
+
+        warnings.warn(
+            "TensorBoardWriter: no backend available (tried torch's "
+            "SummaryWriter and tensorboardX) — scalar logging is disabled. "
+            "Install tensorboardX for torch-free logging, or pass --nolog "
+            "to silence this.")
 
     def add_scalar(self, tag, value, step):
         if self._writer is not None:
