@@ -169,7 +169,11 @@ def main(opts=None):
     for i in range(n_tr):
         state, loss = step(state, jax.random.PRNGKey(2 + i), x2d, x3d, w)
     _ = float(loss)
-    train_frames_per_sec = B * F * n_tr / (time.perf_counter() - start)
+    train_elapsed = (time.perf_counter() - start) / n_tr
+    train_frames_per_sec = B * F / train_elapsed
+    # achieved train FLOP rate: fwd (2P per token) + bwd (~2x fwd) = ~6P
+    # per token position, B rows (no flip fold in training)
+    train_tflops = 6 * params_n * B * F * J / train_elapsed / 1e12
 
     print(
         json.dumps(
@@ -185,6 +189,8 @@ def main(opts=None):
                     "seconds_per_call": round(elapsed, 4),
                     "model_tflops_per_sec": round(model_tflops, 1),
                     "train_frames_per_sec": round(train_frames_per_sec, 1),
+                    "train_model_tflops_per_sec": round(train_tflops, 1),
+                    "train_seconds_per_step": round(train_elapsed, 4),
                     "device": str(dev),
                     "baseline_basis": _baseline_basis(),
                 },

@@ -91,3 +91,9 @@ wait_healthy
 run bench timeout 1800 python bench.py
 
 echo "CAMPAIGN DONE $(date)"
+
+# ---- group 7 (appended while groups 1-2 ran): custom-VJP backward lab ----
+wait_healthy
+run bwdlab timeout 2400 python scripts/train_bwd_lab.py
+
+echo "CAMPAIGN DONE+BWD $(date)"
