@@ -83,6 +83,26 @@ def test_h36m_cli_defaults_to_all_devices(tmp_path):
 
 
 @pytest.mark.slow
+def test_elastic_topology_resume(tmp_path):
+    """Checkpoints are topology-free: train under dp=4xtp=2, then resume the
+    SAME checkpoint under dp=8xtp=1 and under a single device — epoch 3 is
+    identical either way (params/optimizer re-shard on load; batch padding
+    is weight-0 so dp size never changes the loss)."""
+    ckdir = tmp_path / "ck"
+    run_cli("main.py", ckdir, ["-e", "2", "-b", "108", "-cf", "2",
+                               "--dp", "4", "--tp", "2"])
+    out_a = run_cli("main.py", ckdir, ["-e", "3", "-b", "108", "-cf", "3",
+                                       "-r", "auto", "--dp", "8", "--tp", "1"])
+    # re-resume from the same epoch_2 checkpoint on one device
+    os.remove(ckdir / "epoch_3.ckpt")
+    out_b = run_cli("main.py", ckdir, ["-e", "3", "-b", "108", "-cf", "3",
+                                       "-r", "epoch_2.ckpt", "--dp", "1"])
+    l_a, l_b = train_losses(out_a), train_losses(out_b)
+    assert l_a.shape == l_b.shape == (1, 2)
+    np.testing.assert_allclose(l_a, l_b, rtol=2e-4)
+
+
+@pytest.mark.slow
 def test_3dhp_cli_sharded_matches_single_device(tmp_path):
     base3 = ["-e", "1", "-b", "108", "-cf", "1",
              "--synthetic-frames", "108"]
