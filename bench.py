@@ -137,7 +137,8 @@ def main(opts=None):
     # so reuse mode doesn't overstate the achieved FLOP rate
     if reuse > 1:
         tap = max(1, min(opts.ddim_reuse_tap, 8))
-        full_steps = len(range(0, K, reuse))
+        # the final step is always a forced refresh (d3dp.py reuse schedule)
+        full_steps = len(set(range(0, K, reuse)) | {K - 1})
         step_cost = (full_steps + (K - full_steps) * tap / 8.0) / K
     else:
         step_cost = 1.0

@@ -46,6 +46,16 @@ def flip_pose(x, perm, coord_axis=-1):
     return jnp.take(x, perm, axis=x.ndim - 2)
 
 
+def reuse_schedule(n_steps, interval):
+    """Which DDIM steps run the FULL model under feature reuse: every
+    `interval`-th step — and always the final step, whose x_start is the
+    headline prediction (leaving it reused is what made interval-2 diverge
+    at K=10 while interval-3, which happens to refresh step K-1, was
+    accuracy-neutral at 1.7x; r4 quantification, PERFORMANCE.md)."""
+    sched = jnp.arange(n_steps)
+    return ((sched % interval) == 0) | (sched == n_steps - 1)
+
+
 def make_lr_perm(num_joints, joints_left, joints_right):
     """Permutation swapping left/right joint indices."""
     perm = np.arange(num_joints)
@@ -245,7 +255,7 @@ class D3DP:
             mcfg = self.cfg.model
             rows = B * H * (2 if flip else 1)
             delta0 = jnp.zeros((rows, F, J, mcfg.embed_dim), mcfg.dtype)
-            is_full = (jnp.arange(len(step_noises)) % R) == 0
+            is_full = reuse_schedule(len(step_noises), R)
 
             def denoise_full(img, t_scalar):
                 x_flat = to_flat(img)

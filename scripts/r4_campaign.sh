@@ -97,3 +97,14 @@ wait_healthy
 run bwdlab timeout 2400 python scripts/train_bwd_lab.py
 
 echo "CAMPAIGN DONE+BWD $(date)"
+
+# ---- group 8 (appended): reuse quantification WITH the final-step-refresh
+# schedule fix (d3dp.py reuse_schedule) — K10 re-run + canonical K5 ----
+wait_healthy
+run reuseK10fix timeout 5400 python scripts/quantify_reuse.py \
+  --proposals 20 --steps 10 --out /tmp/reuse_quant_H20K10_fixed.json
+wait_healthy
+run reuseK5fix timeout 5400 python scripts/quantify_reuse.py \
+  --proposals 5 --steps 5 --out /tmp/reuse_quant_H5K5_fixed.json
+
+echo "CAMPAIGN DONE+REUSEFIX $(date)"

@@ -157,6 +157,22 @@ class TestReuseSampler:
             np.asarray(reuse), np.asarray(base), atol=1e-5)
 
 
+def test_reuse_schedule_always_refreshes_final_step():
+    """The r4 quantification's key finding, pinned: interval-2 at K=10
+    left the final (headline) step reused and diverged +67 mm; the
+    schedule must land a refresh on step K-1 for every (K, interval)."""
+    from d3dp_tpu.diffusion.d3dp import reuse_schedule
+
+    for k in (2, 3, 5, 10, 20):
+        for r in (2, 3, 5, 7):
+            s = np.asarray(reuse_schedule(k, r))
+            assert s[0] and s[-1], (k, r, s)
+            assert s[::r].all(), (k, r, s)
+            # and nothing else is full
+            expect = (np.arange(k) % r == 0) | (np.arange(k) == k - 1)
+            assert (s == expect).all(), (k, r, s)
+
+
 class TestAccuracyContract:
     """Pins the r3 quantification's qualitative shape at CI dims
     (PERFORMANCE.md r3 table: interval 2 stays sub-percent; adaptive
