@@ -57,28 +57,42 @@ def provider_noise(noise_provider, n, pad, bs):
 
 @dataclass
 class EvalResult:
-    """Frame-weighted sums per aggregation mode; (K,) arrays."""
+    """Frame-weighted sums per aggregation mode; (K,) arrays.
 
-    sums: dict = field(default_factory=dict)
-    sums_p2: dict = field(default_factory=dict)
+    add() does NOT touch the error values — they may be device arrays
+    still being computed (converting would force a host sync per
+    micro-batch, a full tunnel round-trip on remote TPUs, serialising
+    device compute against the host loop). Conversion happens once at
+    read time, reproducing the original sequential float64 summation
+    order exactly (the whole-pipeline log-text parity depends on it)."""
+
+    pending: list = field(default_factory=list)
+    pending_p2: list = field(default_factory=list)
     n: int = 0
 
     def add(self, errors: dict, errors_p2: Optional[dict], weight: int):
-        for m, v in errors.items():
-            e = np.asarray(v, dtype=np.float64) * weight
-            self.sums[m] = self.sums.get(m, 0.0) + e
+        self.pending.append((errors, weight))
         if errors_p2 is not None:
-            for m, v in errors_p2.items():
-                e = np.asarray(v, dtype=np.float64) * weight
-                self.sums_p2[m] = self.sums_p2.get(m, 0.0) + e
+            self.pending_p2.append((errors_p2, weight))
         self.n += weight
+
+    @staticmethod
+    def _reduce(pending):
+        sums = {}
+        for errors, weight in pending:
+            for m, v in errors.items():
+                e = np.asarray(v, dtype=np.float64) * weight
+                sums[m] = sums.get(m, 0.0) + e
+        return sums
 
     def averages_mm(self):
         """-> dict mode -> (K,) in millimetres."""
-        return {m: v / self.n * 1000.0 for m, v in self.sums.items()}
+        return {m: v / self.n * 1000.0
+                for m, v in self._reduce(self.pending).items()}
 
     def averages_p2_mm(self):
-        return {m: v / self.n * 1000.0 for m, v in self.sums_p2.items()}
+        return {m: v / self.n * 1000.0
+                for m, v in self._reduce(self.pending_p2).items()}
 
 
 class Evaluator:
@@ -218,7 +232,9 @@ class Evaluator:
 
                 def put(x):
                     if self._batch_sharding is not None:
-                        return jax.device_put(x, self._batch_sharding)
+                        from d3dp_tpu.parallel import put_global
+
+                        return put_global(x, self._batch_sharding)
                     return jnp.asarray(x)
 
                 def take(a):
@@ -269,6 +285,13 @@ class Evaluator:
                         np.asarray(take(traj))[:n],
                     )
                 result.add(errors, errors_p2, weight=n * rf)
+                # backpressure: error vectors stay on device (no per-batch
+                # sync), but an unbounded dispatch queue would let the host
+                # race arbitrarily far ahead — one sync every 16 batches
+                # drains it (device execution is in-order)
+                self._dispatched = getattr(self, "_dispatched", 0) + 1
+                if self._dispatched % 16 == 0:
+                    _ = float(jnp.sum(errors["P_Best"]))
 
                 if self.quickdebug:
                     return result

@@ -155,7 +155,9 @@ class Evaluator3DHP:
 
                 def put(x):
                     if self._batch_sharding is not None:
-                        return jax.device_put(x, self._batch_sharding)
+                        from d3dp_tpu.parallel import put_global
+
+                        return put_global(x, self._batch_sharding)
                     return jnp.asarray(x)
 
                 def take(a):

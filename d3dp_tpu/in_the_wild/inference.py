@@ -135,11 +135,11 @@ def sample_video_keypoints(d3dp, params, keypoints_norm, rf, bs, key,
 
     put = jnp.asarray
     if mesh is not None:
-        from d3dp_tpu.parallel import batch_sharding, round_up_batch
+        from d3dp_tpu.parallel import batch_sharding, round_up_batch, put_global
 
         bs = round_up_batch(bs, mesh)
         sh = batch_sharding(mesh)
-        put = lambda x: jax.device_put(np.asarray(x), sh)
+        put = lambda x: put_global(np.asarray(x), sh)
 
     kl, kr = COCO_METADATA["keypoints_symmetry"]
     seq_flip = keypoints_norm.copy()

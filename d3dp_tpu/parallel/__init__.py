@@ -9,6 +9,7 @@ from d3dp_tpu.parallel.mesh import (
     mixste_param_spec,
     shard_params,
     replicate_stray_leaves,
+    put_global,
 )
 from d3dp_tpu.parallel.multihost import (
     initialize_multihost,
@@ -27,6 +28,7 @@ __all__ = [
     "mixste_param_spec",
     "shard_params",
     "replicate_stray_leaves",
+    "put_global",
     "initialize_multihost",
     "global_batch",
     "host_slice",

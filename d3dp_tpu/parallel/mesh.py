@@ -48,14 +48,37 @@ def auto_mesh(dp=0, tp=1, devices=None):
     return make_mesh(dp=dp, tp=tp, devices=devices[: dp * tp])
 
 
+def _batch_quantum(mesh):
+    """Rows must divide over 'dp' AND split evenly across processes
+    (multihost host_slice): lcm of the two."""
+    return int(np.lcm(mesh.shape["dp"], jax.process_count()))
+
+
 def round_up_batch(batch_size, mesh):
-    """Smallest multiple of the dp size >= batch_size (eval micro-batches
-    must divide over 'dp'; the extra rows are weight-0 padding windows, so
-    metrics are unchanged)."""
+    """Smallest multiple of the batch quantum >= batch_size (eval
+    micro-batches must divide over 'dp' and across hosts; the extra rows
+    are weight-0 padding windows, so metrics are unchanged)."""
     if mesh is None:
         return batch_size
-    dp = mesh.shape["dp"]
-    return -(-batch_size // dp) * dp
+    q = _batch_quantum(mesh)
+    return -(-batch_size // q) * q
+
+
+def put_global(x, sharding):
+    """Place a HOST-GLOBAL batch under a (possibly multi-process) sharding.
+
+    Single process: plain device_put. Under jax.distributed, every host
+    holds the identical global batch (the deterministic generators
+    guarantee it), so each host contributes its contiguous host_slice via
+    make_array_from_process_local_data — the jitted step then sees one
+    global dp-sharded array, same as single-host."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    from d3dp_tpu.parallel.multihost import host_slice
+
+    x = np.asarray(x)
+    lo, hi = host_slice(x.shape[0])
+    return jax.make_array_from_process_local_data(sharding, x[lo:hi], x.shape)
 
 
 def shard_batch_fn(mesh, array_indices=(1, 2), weights_index=3):
@@ -66,12 +89,12 @@ def shard_batch_fn(mesh, array_indices=(1, 2), weights_index=3):
     but stays host-side numpy — the train loop reads w.sum() for its step
     count without forcing a device sync."""
     bs = batch_sharding(mesh)
-    dp = mesh.shape["dp"]
+    q = _batch_quantum(mesh)
 
     def fn(batch):
         out = list(batch)
         n = out[weights_index].shape[0]
-        pad = (-n) % dp
+        pad = (-n) % q
         if pad:
             for i in array_indices:
                 if out[i] is not None:
@@ -81,7 +104,7 @@ def shard_batch_fn(mesh, array_indices=(1, 2), weights_index=3):
                 np.asarray(out[weights_index]), (0, pad))
         for i in array_indices:
             if out[i] is not None:
-                out[i] = jax.device_put(out[i], bs)
+                out[i] = put_global(out[i], bs)
         return tuple(out)
 
     return fn

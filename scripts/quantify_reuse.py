@@ -130,9 +130,11 @@ def main():
         ("r2/t2", 2, 2, 0.0),
         ("r2/t1", 2, 1, 0.0),
         ("r3/t2", 3, 2, 0.0),
+        ("r4/t2", 4, 2, 0.0),
         ("r5/t2", 5, 2, 0.0),
         ("r3/t2+tau0.05", 3, 2, 0.05),
         ("r3/t2+tau0.10", 3, 2, 0.10),
+        ("r5/t2+tau0.15", 5, 2, 0.15),
     ]
     rows = []
     base = None

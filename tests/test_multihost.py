@@ -119,6 +119,116 @@ def test_global_batch_two_processes():
         assert f"MULTIHOST2_OK {i}" in out
 
 
+_TRAIN_WORKER = """
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    import numpy as np
+    import jax.numpy as jnp
+    from d3dp_tpu.parallel import (
+        initialize_multihost, make_mesh, shard_batch_fn, shard_params)
+    from d3dp_tpu.diffusion import D3DP, D3DPConfig
+    from d3dp_tpu.models import MixSTEConfig
+    from d3dp_tpu.train.state import TrainState, make_optimizer, make_train_step
+
+    pid = int(sys.argv[1])
+    idx, count = initialize_multihost(
+        coordinator_address="localhost:%d", num_processes=2, process_id=pid)
+    mesh = make_mesh(dp=4, tp=1)
+
+    d3dp = D3DP(D3DPConfig(
+        model=MixSTEConfig(num_frames=9, embed_dim=64, depth=2),
+        num_proposals=2, sampling_timesteps=2))
+    params = d3dp.init_params(jax.random.PRNGKey(0))
+    tx = make_optimizer(1e-4)
+    state = TrainState.create(
+        {"params": shard_params(params["params"], mesh)}, tx, mesh=mesh)
+    step = make_train_step(d3dp, tx, donate=False)
+
+    # every host sees the identical global batch (deterministic
+    # generators); shard_batch_fn slices each host's share internally
+    rng = np.random.RandomState(0)
+    b3 = rng.randn(3, 9, 17, 3).astype(np.float32)  # 3 rows: pads to 4
+    b2 = rng.randn(3, 9, 17, 2).astype(np.float32)
+    w = np.ones(3, np.float32)
+    cam, b3, b2, w = shard_batch_fn(mesh)((None, b3, b2, w))
+    state, loss = step(state, jax.random.PRNGKey(1), b2, b3, jnp.asarray(w))
+    print("TRAIN_LOSS", float(loss))
+"""
+
+
+@pytest.mark.slow
+def test_train_step_two_processes():
+    """The CLI's sharded train path end-to-end across two jax.distributed
+    processes: shard_batch_fn assembles each host's slice into the global
+    dp-sharded batch and the jitted step's loss equals the single-process
+    value (put_global seam, parallel/mesh.py)."""
+    import socket
+    import textwrap
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    code = textwrap.dedent(_TRAIN_WORKER % port)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code, str(i)], cwd=REPO,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=540)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    losses = []
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"process {i} failed:\n{err[-2000:]}"
+        losses.append(float(out.split("TRAIN_LOSS")[1].split()[0]))
+    assert losses[0] == losses[1], losses
+
+    # single-process control on 4 local devices, same global batch
+    r = run_py("""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 4)
+        import numpy as np
+        import jax.numpy as jnp
+        from d3dp_tpu.parallel import make_mesh, shard_batch_fn, shard_params
+        from d3dp_tpu.diffusion import D3DP, D3DPConfig
+        from d3dp_tpu.models import MixSTEConfig
+        from d3dp_tpu.train.state import (
+            TrainState, make_optimizer, make_train_step)
+
+        mesh = make_mesh(dp=4, tp=1)
+        d3dp = D3DP(D3DPConfig(
+            model=MixSTEConfig(num_frames=9, embed_dim=64, depth=2),
+            num_proposals=2, sampling_timesteps=2))
+        params = d3dp.init_params(jax.random.PRNGKey(0))
+        tx = make_optimizer(1e-4)
+        state = TrainState.create(
+            {"params": shard_params(params["params"], mesh)}, tx, mesh=mesh)
+        step = make_train_step(d3dp, tx, donate=False)
+        rng = np.random.RandomState(0)
+        b3 = rng.randn(3, 9, 17, 3).astype(np.float32)
+        b2 = rng.randn(3, 9, 17, 2).astype(np.float32)
+        w = np.ones(3, np.float32)
+        cam, b3, b2, w = shard_batch_fn(mesh)((None, b3, b2, w))
+        state, loss = step(state, jax.random.PRNGKey(1), b2, b3,
+                           jnp.asarray(w))
+        print("TRAIN_LOSS", float(loss))
+    """)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ref = float(r.stdout.split("TRAIN_LOSS")[1].split()[0])
+    assert abs(losses[0] - ref) < 1e-5, (losses[0], ref)
+
+
 def test_async_orbax_roundtrip(tmp_path):
     from d3dp_tpu.train.checkpoint_io import (
         save_checkpoint_orbax, load_checkpoint_orbax, wait_for_checkpoints)
