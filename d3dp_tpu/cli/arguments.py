@@ -141,12 +141,12 @@ def build_parser(in_the_wild=False):
     parser.add_argument("--ddim-reuse", type=int, default=0, metavar="N",
                         help="DDIM feature reuse (FRDiff-style): refresh the "
                              "deep transformer blocks every N sampling steps "
-                             "and reuse their cached contribution in between "
-                             "(0/1 = off, exact reference semantics). "
-                             "Measured (PERFORMANCE.md r3): N=2 costs "
-                             "+0.2-0.5mm for 1.2-1.36x; N>=3 DIVERGES at "
-                             "small K — use 2, or pair N>=3 with "
-                             "--ddim-reuse-adaptive. Eval only.")
+                             "(and ALWAYS on the final step) and reuse their "
+                             "cached contribution in between (0/1 = off, "
+                             "exact reference semantics). Measured "
+                             "(PERFORMANCE.md r3/r4): K=5: N=2 costs "
+                             "+0.2mm for 1.3x; K=20: N=5 is accuracy-"
+                             "neutral at 2.14x. Eval only.")
     parser.add_argument("--ddim-reuse-tap", type=int, default=2, metavar="D",
                         help="with --ddim-reuse: number of shallow block "
                              "pairs computed fresh on reuse steps (1..dep)")
@@ -155,7 +155,12 @@ def build_parser(in_the_wild=False):
                         help="with --ddim-reuse: ALSO refresh whenever the "
                              "noisy pose drifts more than TAU (relative L2) "
                              "since the last refresh — the interval becomes "
-                             "the maximum stretch (0 = fixed schedule)")
+                             "the maximum stretch (0 = fixed schedule). "
+                             "Accuracy safety valve with NO measured speed "
+                             "case: at every K tried (5/10/20) step-to-step "
+                             "drift exceeds useful thresholds, so it "
+                             "degenerates to refresh-every-step at ~1.0x "
+                             "(PERFORMANCE.md r4)")
     parser.add_argument("--jax-cache", default=os.environ.get(
                             "JAX_COMPILATION_CACHE_DIR",
                             os.path.expanduser("~/.cache/d3dp_tpu/jax")),

@@ -43,3 +43,13 @@ def test_bench_dp_scaling_mode():
     by_dp = d["detail"]["hyp_frames_per_sec_by_dp"]
     assert set(by_dp) == {"1", "2"}
     assert all(v > 0 for v in by_dp.values())
+
+
+def test_campaign_shell_syntax():
+    """The TPU campaign scripts must at least parse (bash -n) — a syntax
+    error discovered mid-campaign wastes a healthy tunnel window."""
+    import glob
+
+    for sh in glob.glob(os.path.join(REPO, "scripts", "*.sh")):
+        r = run(["bash", "-n", sh])
+        assert r.returncode == 0, (sh, r.stderr)
