@@ -471,7 +471,13 @@ def _attn_stage_kernel_hm(x_ref, wqkv_hm_ref, bqkv_hm_ref, wp_ref, bp_ref,
     "pack heads at the WEIGHT level" idea made concrete: the qkv weights
     arrive pre-stacked (h, C, 3d), so per-head projection dots emit
     head-major output directly (leading-axis stores, no q/k/v lane-slice
-    copies) and the QK^T/AV dots run h-batched. The `batched` variant
+    copies) and the QK^T/AV dots run h-batched.
+
+    MEASURED AND CLOSED (r4, PERFORMANCE.md "r4 hmqkv cells"): loses
+    +21% per stage (+42% both) vs the batched/loop defaults on v5e —
+    the head-blocked projection dots tile worse than the lane shuffles
+    they remove. Kept as the documented experiment; do not re-promote
+    without new hardware. The `batched` variant
     pays 3+1 per-head scratch/output copies per tile; this keeps only the
     single output-side scatter (o back to packed lanes for the standard
     (TB*N, C) @ (C, C) projection). Mosaic constraints that shaped it,
