@@ -52,3 +52,43 @@ def test_rng_resume_contract():
     b = list(g2.next_epoch())
     for ba, bb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(ba[2]), np.asarray(bb[2]))
+
+
+def test_grain_with_sharded_to_device():
+    """grain pipeline composes with the CLI's mesh to_device: batches come
+    out dp-sharded (padded to the batch quantum) and numerically equal to
+    the thread path."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    pytest.importorskip("grain")
+    from jax.sharding import NamedSharding
+    from d3dp_tpu.parallel import make_mesh, shard_batch_fn
+    from d3dp_tpu.data.synthetic import make_dataset, JOINTS_LEFT, JOINTS_RIGHT
+    from d3dp_tpu.data.generators import ChunkedGenerator
+    from d3dp_tpu.data.grain_pipeline import GrainChunkedPipeline
+
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    cams, p3, p2 = make_dataset(seed=0, lengths=(120, 90))
+
+    def gen():
+        return ChunkedGenerator(
+            6, cams, p3, p2, chunk_length=27, shuffle=True, augment=True,
+            kps_left=JOINTS_LEFT, kps_right=JOINTS_RIGHT,
+            joints_left=JOINTS_LEFT, joints_right=JOINTS_RIGHT,
+            pad_last=True)
+
+    sharded = list(GrainChunkedPipeline(
+        gen(), to_device=shard_batch_fn(mesh)).next_epoch())
+    plain = list(gen().next_epoch())
+    assert len(sharded) == len(plain)
+    for (c_s, b3_s, b2_s, w_s), (c_p, b3_p, b2_p, w_p) in zip(sharded, plain):
+        assert isinstance(b3_s.sharding, NamedSharding)
+        assert b3_s.shape[0] % 4 == 0  # padded to the dp quantum
+        n = b3_p.shape[0]
+        np.testing.assert_array_equal(np.asarray(b3_s)[:n], b3_p)
+        np.testing.assert_array_equal(np.asarray(b2_s)[:n], b2_p)
+        np.testing.assert_array_equal(np.asarray(w_s)[:n], w_p)
+        assert float(np.sum(w_s)) == float(np.sum(w_p))  # pad rows weight 0
