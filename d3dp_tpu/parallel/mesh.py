@@ -83,11 +83,12 @@ def put_global(x, sharding):
 
 def shard_batch_fn(mesh, array_indices=(1, 2), weights_index=3):
     """to_device factory for the training Prefetcher under a mesh: pad the
-    batch rows to a multiple of the dp size with zero-weight rows (the
-    weighted loss is identical to the unsharded run), then device_put the
-    array members with the batch sharding. The weights member is padded
-    but stays host-side numpy — the train loop reads w.sum() for its step
-    count without forcing a device sync."""
+    batch rows to the batch quantum (lcm of dp and process count) with
+    zero-weight rows (the weighted loss is identical to the unsharded
+    run), then place the array members with the batch sharding
+    (put_global: multihost-aware). The weights member is padded but stays
+    host-side numpy — the train loop reads w.sum() for its step count
+    without forcing a device sync."""
     bs = batch_sharding(mesh)
     q = _batch_quantum(mesh)
 
