@@ -147,12 +147,14 @@ def main():
         # fixed key: identical DDIM noise across configs
         res = ev.evaluate(params, gen, jax.random.PRNGKey(7))
         dt = time.perf_counter() - t0
-        # second pass for a compile-free timing
+        # second pass for a compile-free timing; averages_mm() inside the
+        # timed region — EvalResult defers device syncs, so the clock must
+        # stop only after the host conversion forces completion
         gen = UnchunkedGenerator(cams, p3, p2, **gen_args)
         t0 = time.perf_counter()
         res = ev.evaluate(params, gen, jax.random.PRNGKey(7))
-        dt = time.perf_counter() - t0
         e = res.averages_mm()
+        dt = time.perf_counter() - t0
         row = {
             "config": name, "reuse": reuse, "tap": tap, "tau": tau,
             "P_Best_mm": round(float(e["P_Best"][-1]), 3),

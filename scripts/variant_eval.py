@@ -143,8 +143,10 @@ def main():
     t0 = time.perf_counter()
     res = ev.evaluate(params, UnchunkedGenerator(cams, p3, p2, **gen_args),
                       jax.random.PRNGKey(7))
-    dt = time.perf_counter() - t0
+    # averages_mm() inside the timed region — EvalResult defers device
+    # syncs; the clock stops after the host conversion forces completion
     e = res.averages_mm()
+    dt = time.perf_counter() - t0
     print(json.dumps({
         "attn_variant": opts.attn_variant or "default",
         "mlp_variant": opts.mlp_variant or "default",
