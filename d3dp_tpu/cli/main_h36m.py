@@ -200,9 +200,18 @@ def run_evaluation(args, data, d3dp_eval, params, key, noise_provider=None,
             import zlib
 
             action_key_int = zlib.crc32(action_key.encode()) % (2**31)
-            result = evaluator.evaluate(
-                params, gen, jax.random.fold_in(key, action_key_int),
-                noise_provider=noise_provider)
+            if args.profile and not per_action:  # trace the first action
+                from d3dp_tpu.utils.profiling import trace as profiler_trace
+
+                with profiler_trace(args.profile):
+                    result = evaluator.evaluate(
+                        params, gen, jax.random.fold_in(key, action_key_int),
+                        noise_provider=noise_provider)
+                print(f"profiler trace written to {args.profile}")
+            else:
+                result = evaluator.evaluate(
+                    params, gen, jax.random.fold_in(key, action_key_int),
+                    noise_provider=noise_provider)
             report_result(args, result, action_key)
             per_action[action_key] = result
 
