@@ -77,7 +77,8 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer=None,
     import jax.numpy as jnp
     from d3dp_tpu.data.generators import ChunkedGenerator, UnchunkedGenerator
     from d3dp_tpu.eval.evaluator_3dhp import Evaluator3DHP
-    from d3dp_tpu.parallel import round_up_batch, shard_batch_fn
+    from d3dp_tpu.parallel import (
+        round_up_batch, shard_batch_fn, shard_model_params)
     from d3dp_tpu.train.state import (
         TrainState, make_optimizer, make_train_step, get_lr, set_lr)
     from d3dp_tpu.train.checkpoint_io import (
@@ -86,11 +87,7 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer=None,
     p3_train, p2_train, p3_test, p2_test, valid = data
 
     def _shard(p):
-        if mesh is None:
-            return p
-        from d3dp_tpu.parallel import shard_params
-
-        return {"params": shard_params(p["params"], mesh)}
+        return shard_model_params(p, mesh)
 
     lr = args.learning_rate
     tx = make_optimizer(lr, weight_decay=0.1)
@@ -333,7 +330,7 @@ def main(argv=None):
 
     # multi-device by default, mirroring the reference's unconditional
     # DataParallel wrap (main_3dhp.py:257-264)
-    from d3dp_tpu.parallel import auto_mesh, shard_params
+    from d3dp_tpu.parallel import auto_mesh, shard_model_params
 
     mesh = auto_mesh(args.dp, args.tp)
     if mesh is not None:
@@ -342,8 +339,7 @@ def main(argv=None):
 
     if args.evaluate:
         print("Evaluating...")
-        if mesh is not None:
-            params = {"params": shard_params(params["params"], mesh)}
+        params = shard_model_params(params, mesh)
         key, sub = jax.random.split(key)
         run_evaluation(args, data, d3dp_eval, params, sub, mesh=mesh)
     else:

@@ -207,6 +207,9 @@ def run_evaluation(args, data, d3dp_eval, params, key, noise_provider=None,
                     result = evaluator.evaluate(
                         params, gen, jax.random.fold_in(key, action_key_int),
                         noise_provider=noise_provider)
+                    # EvalResult defers device syncs — force completion
+                    # INSIDE the trace or the queued sampling is invisible
+                    result.averages_mm()
                 print(f"profiler trace written to {args.profile}")
             else:
                 result = evaluator.evaluate(
@@ -268,7 +271,8 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer,
     import jax.numpy as jnp
     from d3dp_tpu.data.generators import ChunkedGenerator, UnchunkedGenerator
     from d3dp_tpu.eval import Evaluator
-    from d3dp_tpu.parallel import round_up_batch, shard_batch_fn
+    from d3dp_tpu.parallel import (
+        round_up_batch, shard_batch_fn, shard_model_params)
     from d3dp_tpu.train.state import (
         TrainState, make_optimizer, make_train_step, get_lr, set_lr)
     from d3dp_tpu.train.checkpoint_io import (
@@ -276,12 +280,7 @@ def run_training(args, data, d3dp_train, d3dp_valid, params, writer,
         wait_for_checkpoints)
 
     def _shard(p):
-        """Params onto the mesh (tp rules; no-op without a mesh)."""
-        if mesh is None:
-            return p
-        from d3dp_tpu.parallel import shard_params
-
-        return {"params": shard_params(p["params"], mesh)}
+        return shard_model_params(p, mesh)
 
     subjects_train = args.subjects_train.split(",")
     subjects_test = args.subjects_test.split(",")
@@ -551,7 +550,7 @@ def run_with_args(args):
     # multi-device by default, like the reference's unconditional
     # nn.DataParallel wrap (main.py:241-248): all visible devices form a
     # data-parallel mesh unless --dp/--tp say otherwise
-    from d3dp_tpu.parallel import auto_mesh, shard_params
+    from d3dp_tpu.parallel import auto_mesh, shard_model_params
 
     mesh = auto_mesh(args.dp, args.tp)
     if mesh is not None:
@@ -560,16 +559,14 @@ def run_with_args(args):
 
     if args.evaluate:
         print("Evaluating...")
-        if mesh is not None:
-            params = {"params": shard_params(params["params"], mesh)}
+        params = shard_model_params(params, mesh)
         key, sub = jax.random.split(key)
         run_evaluation(args, data, d3dp_eval, params, sub, mesh=mesh)
     elif args.render:
         print("Rendering...")
         from d3dp_tpu.cli.render import run_render
 
-        if mesh is not None:
-            params = {"params": shard_params(params["params"], mesh)}
+        params = shard_model_params(params, mesh)
         run_render(args, data, d3dp_eval, params, key, mesh=mesh)
     else:
         run_training(args, data, d3dp_train, d3dp_valid, params, writer,

@@ -68,6 +68,8 @@ class EvalResult:
 
     pending: list = field(default_factory=list)
     pending_p2: list = field(default_factory=list)
+    sums: dict = field(default_factory=dict)
+    sums_p2: dict = field(default_factory=dict)
     n: int = 0
 
     def add(self, errors: dict, errors_p2: Optional[dict], weight: int):
@@ -77,22 +79,26 @@ class EvalResult:
         self.n += weight
 
     @staticmethod
-    def _reduce(pending):
-        sums = {}
+    def _reduce(pending, sums):
+        """Fold pending entries into sums (host float64, sequential order)
+        and release the device buffers — repeated average reads must not
+        re-fetch every micro-batch over the device link."""
         for errors, weight in pending:
             for m, v in errors.items():
                 e = np.asarray(v, dtype=np.float64) * weight
                 sums[m] = sums.get(m, 0.0) + e
+        pending.clear()
         return sums
 
     def averages_mm(self):
         """-> dict mode -> (K,) in millimetres."""
         return {m: v / self.n * 1000.0
-                for m, v in self._reduce(self.pending).items()}
+                for m, v in self._reduce(self.pending, self.sums).items()}
 
     def averages_p2_mm(self):
         return {m: v / self.n * 1000.0
-                for m, v in self._reduce(self.pending_p2).items()}
+                for m, v in self._reduce(self.pending_p2,
+                                         self.sums_p2).items()}
 
 
 class Evaluator:

@@ -209,13 +209,13 @@ def main(args):
 
     # multi-device by default (reference: DataParallel wrap,
     # videopose_diffusion.py:101-102)
-    from d3dp_tpu.parallel import auto_mesh, shard_params
+    from d3dp_tpu.parallel import auto_mesh, shard_model_params
 
     mesh = auto_mesh(args.dp, args.tp)
     if mesh is not None:
         print(f"INFO: {mesh.devices.size}-device mesh "
               f"(dp={mesh.shape['dp']}, tp={mesh.shape['tp']})")
-        params = {"params": shard_params(params["params"], mesh)}
+    params = shard_model_params(params, mesh)
 
     key = jax.random.PRNGKey(args.seed)
     with Timer("sampling"):

@@ -8,6 +8,7 @@ from d3dp_tpu.parallel.mesh import (
     replicated_sharding,
     mixste_param_spec,
     shard_params,
+    shard_model_params,
     replicate_stray_leaves,
     put_global,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "replicated_sharding",
     "mixste_param_spec",
     "shard_params",
+    "shard_model_params",
     "replicate_stray_leaves",
     "put_global",
     "initialize_multihost",

@@ -43,6 +43,9 @@ def auto_mesh(dp=0, tp=1, devices=None):
         raise ValueError(f"--tp {tp} exceeds the {n} visible devices")
     if dp <= 0:
         dp = max(n // tp, 1)
+    if dp * tp > n:
+        raise ValueError(
+            f"--dp {dp} x --tp {tp} exceeds the {n} visible devices")
     if dp * tp == 1:
         return None
     return make_mesh(dp=dp, tp=tp, devices=devices[: dp * tp])
@@ -156,6 +159,15 @@ def shard_params(params, mesh):
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
+
+
+def shard_model_params(params, mesh):
+    """CLI entry-point helper: place a {'params': ...} pytree on the mesh
+    under the tp rules; no-op without a mesh. One definition for every
+    train/eval/render/in-the-wild branch."""
+    if mesh is None:
+        return params
+    return {"params": shard_params(params["params"], mesh)}
 
 
 def replicate_stray_leaves(tree, mesh):

@@ -14,7 +14,18 @@ import numpy as np
 
 
 def _to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Host-materialize a pytree. Under jax.distributed, tp-sharded leaves
+    span non-addressable devices and np.asarray would raise — gather them
+    first (collective: every process must reach this call)."""
+
+    def conv(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            x = multihost_utils.process_allgather(x, tiled=True)
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(conv, tree)
 
 
 def save_checkpoint(path, *, epoch, lr, params, opt_state=None,
@@ -28,6 +39,11 @@ def save_checkpoint(path, *, epoch, lr, params, opt_state=None,
         "min_loss": min_loss,
         "extra": extra,
     }
+    # multihost: the gathers above are collective (all processes), but only
+    # process 0 writes — concurrent writers to one path on a shared
+    # filesystem would corrupt the file
+    if jax.process_index() != 0:
+        return
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)

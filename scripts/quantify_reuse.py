@@ -146,6 +146,7 @@ def main():
         t0 = time.perf_counter()
         # fixed key: identical DDIM noise across configs
         res = ev.evaluate(params, gen, jax.random.PRNGKey(7))
+        res.averages_mm()  # drain deferred device work before re-timing
         dt = time.perf_counter() - t0
         # second pass for a compile-free timing; averages_mm() inside the
         # timed region — EvalResult defers device syncs, so the clock must

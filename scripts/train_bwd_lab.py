@@ -46,7 +46,8 @@ def main():
         _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
         t0 = time.perf_counter()
         for _i in range(n - 1):
-            out = fn()
+            fn()
+        out = fn()  # n timed calls total; sync via float (CLAUDE.md)
         _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
         return (time.perf_counter() - t0) / n * 1000
 

@@ -140,6 +140,7 @@ def main():
                    kps_left=data.kps_left, kps_right=data.kps_right)
     res = ev.evaluate(params, UnchunkedGenerator(cams, p3, p2, **gen_args),
                       jax.random.PRNGKey(7))
+    res.averages_mm()  # drain the warmup's deferred device work
     t0 = time.perf_counter()
     res = ev.evaluate(params, UnchunkedGenerator(cams, p3, p2, **gen_args),
                       jax.random.PRNGKey(7))

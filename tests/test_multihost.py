@@ -229,6 +229,68 @@ def test_train_step_two_processes():
     assert abs(losses[0] - ref) < 1e-5, (losses[0], ref)
 
 
+_CKPT_WORKER = """
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    import numpy as np
+    from d3dp_tpu.parallel import initialize_multihost, make_mesh, shard_params
+    from d3dp_tpu.train.checkpoint_io import save_checkpoint, load_checkpoint
+
+    pid = int(sys.argv[1]); path = sys.argv[2]
+    initialize_multihost(coordinator_address="localhost:%d",
+                         num_processes=2, process_id=pid)
+    mesh = make_mesh(dp=2, tp=2)  # tp spans the two processes
+    params = {"qkv": {"kernel": np.arange(64 * 192, dtype=np.float32)
+                      .reshape(64, 192)}}
+    sharded = shard_params(params, mesh)
+    assert not sharded["qkv"]["kernel"].is_fully_addressable
+    # collective gather inside save; only process 0 writes
+    save_checkpoint(path, epoch=1, lr=1e-4, params=sharded)
+    if pid == 0:
+        out = load_checkpoint(path)
+        np.testing.assert_array_equal(out["params"]["qkv"]["kernel"],
+                                      params["qkv"]["kernel"])
+    print("CKPT_OK", pid)
+"""
+
+
+@pytest.mark.slow
+def test_tp_sharded_checkpoint_two_processes(tmp_path):
+    """Saving a tp-sharded (non-fully-addressable) state under
+    jax.distributed: the collective gather in _to_numpy plus the
+    process-0-only write (checkpoint_io.py)."""
+    import socket
+    import textwrap
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    path = str(tmp_path / "tp_sharded.ckpt")
+    code = textwrap.dedent(_CKPT_WORKER % port)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code, str(i), path],
+                         cwd=REPO, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=540)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"process {i} failed:\n{err[-2000:]}"
+        assert f"CKPT_OK {i}" in out
+    assert os.path.exists(path)
+
+
 def test_async_orbax_roundtrip(tmp_path):
     from d3dp_tpu.train.checkpoint_io import (
         save_checkpoint_orbax, load_checkpoint_orbax, wait_for_checkpoints)
