@@ -202,32 +202,41 @@ class Evaluator:
         """
         result = EvalResult()
         rf, bs = self.rf, self.bs
-        kl, kr = self.kps_left, self.kps_right
 
-        for item in generator.next_epoch():
-            cam, batch_3d, batch_2d = item[:3]
-            seq_2d = np.asarray(batch_2d[0], dtype=np.float32)
-            if batch_3d is None:
-                # unlabeled sequence (--render without GT): sample against a
-                # zero target; only the predictions are meaningful
-                seq_3d = np.zeros(seq_2d.shape[:2] + (3,), np.float32)
-            else:
-                seq_3d = np.asarray(batch_3d[0], dtype=np.float32)
-            cam_vec = np.asarray(cam[0], dtype=np.float32)
+        def prep():
+            """Host-side per-sequence prep: flip + windowing. Runs in a
+            Prefetcher worker thread so sequence i+1's numpy work overlaps
+            sequence i's device compute."""
+            kl, kr = self.kps_left, self.kps_right
+            for item in generator.next_epoch():
+                cam, batch_3d, batch_2d = item[:3]
+                seq_2d = np.asarray(batch_2d[0], dtype=np.float32)
+                if batch_3d is None:
+                    # unlabeled sequence (--render without GT): sample
+                    # against a zero target; only predictions matter
+                    seq_3d = np.zeros(seq_2d.shape[:2] + (3,), np.float32)
+                else:
+                    seq_3d = np.asarray(batch_3d[0], dtype=np.float32)
+                cam_vec = np.asarray(cam[0], dtype=np.float32)
 
-            # keypoint-symmetry flip of the conditioning (main.py:645-648)
-            seq_2d_flip = seq_2d.copy()
-            seq_2d_flip[..., 0] *= -1
-            seq_2d_flip[:, kl + kr] = seq_2d_flip[:, kr + kl]
+                # keypoint-symmetry flip of the conditioning
+                # (main.py:645-648)
+                seq_2d_flip = seq_2d.copy()
+                seq_2d_flip[..., 0] *= -1
+                seq_2d_flip[:, kl + kr] = seq_2d_flip[:, kr + kl]
 
-            w2d = window_sequence(seq_2d, rf)
-            w2d_f = window_sequence(seq_2d_flip, rf)
-            w3d = window_sequence(seq_3d, rf)
+                w2d = window_sequence(seq_2d, rf)
+                w2d_f = window_sequence(seq_2d_flip, rf)
+                w3d = window_sequence(seq_3d, rf)
 
-            traj = w3d[:, :, :1].copy()
-            w3d = w3d.copy()
-            w3d[:, :, 0] = 0.0  # root-zero target (main.py:679-680)
+                traj = w3d[:, :, :1].copy()
+                w3d = w3d.copy()
+                w3d[:, :, 0] = 0.0  # root-zero target (main.py:679-680)
+                yield cam_vec, w2d, w2d_f, w3d, traj
 
+        from d3dp_tpu.data.prefetch import Prefetcher
+
+        for cam_vec, w2d, w2d_f, w3d, traj in Prefetcher(prep(), depth=2):
             W = w2d.shape[0]
             n_batches = (W + bs - 1) // bs
             pred_parts = []
