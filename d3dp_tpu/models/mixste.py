@@ -30,6 +30,7 @@ Parity notes (things that silently break checkpoint parity if changed):
 """
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Any, Optional
 
@@ -209,13 +210,19 @@ class FusedAttentionStage(nn.Module):
     param_dtype: Any
 
     @nn.compact
-    def __call__(self, x, ln1, ln2):
-        from d3dp_tpu.ops.attention import attention_stage_p
+    def __call__(self, x, ln1, ln2, dp=None):
+        from d3dp_tpu.ops.attention import (attention_stage_dp_p,
+                                            attention_stage_p)
 
         C = self.dim
         scale = self.qk_scale or (C // self.num_heads) ** -0.5
         wq, bq = DenseParams(C, 3 * C, self.param_dtype, name="qkv")()
         wp, bp = DenseParams(C, C, self.param_dtype, name="proj")()
+        if dp is not None:
+            return attention_stage_dp_p(
+                x, wq.astype(self.dtype), bq, wp.astype(self.dtype), bp,
+                ln1[0], ln1[1], ln2[0], ln2[1], dp, self.num_heads, scale,
+                1e-6)
         return attention_stage_p(
             x, wq.astype(self.dtype), bq, wp.astype(self.dtype), bp,
             ln1[0], ln1[1], ln2[0], ln2[1], self.num_heads, scale, 1e-6)
@@ -373,6 +380,21 @@ class Block(nn.Module):
     attention_impl: str
     fuse_level: int = 2
 
+    def _droppath_masks(self, n_rows):
+        """Two independent per-row stochastic-depth scale vectors (one per
+        residual branch, reference mixste.py:114-115 — the same DropPath
+        module called twice draws fresh masks each call). Drawn HERE (not
+        inside DropPath submodules) so the composed and fused paths consume
+        identical masks given the same rng — which is what makes them
+        exactly comparable in tests."""
+        keep = 1.0 - self.drop_path
+        r1, r2 = jax.random.split(self.make_rng("dropout"))
+        m1 = jnp.where(jax.random.bernoulli(r1, keep, (n_rows,)),
+                       1.0 / keep, 0.0).astype(jnp.float32)
+        m2 = jnp.where(jax.random.bernoulli(r2, keep, (n_rows,)),
+                       1.0 / keep, 0.0).astype(jnp.float32)
+        return m1, m2
+
     @nn.compact
     def __call__(self, x, deterministic: bool, out_ln=None, transpose_b=None):
         """out_ln=(scale, bias): on the fused path the block also applies
@@ -381,10 +403,17 @@ class Block(nn.Module):
         it. transpose_b=B0 (true batch): the block additionally emits its
         output in the OTHER spatial/temporal layout, (B0*N, B//B0, C) — on
         the fused path the relayout rides the MLP kernel's output DMA."""
+        dp_active = (not deterministic) and self.drop_path > 0.0
+        dp = self._droppath_masks(x.shape[0]) if dp_active else None
+        dp_fused_ok = (self.fuse_level >= 4 and self.qkv_bias
+                       and os.environ.get("D3DP_DP_FUSED", "1") != "0")
         if self.attention_impl == "pallas" and self.drop == 0.0 and \
                 self.attn_drop == 0.0 and out_ln is not None and \
-                (deterministic or self.drop_path == 0.0):
-            return self._fused(x, deterministic, out_ln, transpose_b)
+                (not dp_active or dp_fused_ok):
+            # active DropPath rides the fuse>=4 kernels as per-row branch
+            # scales (ops/attention.py attention_stage_dp_p, ops/mlp.py
+            # mlp_block[_t]_dp_p) — training stays on the fused path
+            return self._fused(x, deterministic, out_ln, transpose_b, dp=dp)
         ln = lambda name: nn.LayerNorm(
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
@@ -401,7 +430,9 @@ class Block(nn.Module):
             impl=self.attention_impl,
             name="attn",
         )(ln("norm1")(x), deterministic)
-        x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic)
+        if dp is not None:
+            attn_out = (attn_out * dp[0][:, None, None]).astype(attn_out.dtype)
+        x = x + attn_out
         mlp_out = Mlp(
             hidden=int(self.dim * self.mlp_ratio),
             out=self.dim,
@@ -411,7 +442,9 @@ class Block(nn.Module):
             precision=self.precision,
             name="mlp",
         )(ln("norm2")(x), deterministic)
-        x = x + DropPath(self.drop_path, name="drop_path2")(mlp_out, deterministic)
+        if dp is not None:
+            mlp_out = (mlp_out * dp[1][:, None, None]).astype(mlp_out.dtype)
+        x = x + mlp_out
         if out_ln is not None:
             # caller delegated its shared post-block norm (fused-path
             # contract); apply it with plain XLA here
@@ -423,7 +456,7 @@ class Block(nn.Module):
             x = x.reshape(B0 * N, B // B0, C)
         return x
 
-    def _fused(self, x, deterministic, out_ln, transpose_b=None):
+    def _fused(self, x, deterministic, out_ln, transpose_b=None, dp=None):
         """Pallas fused-block path. Fusion wins only where the kernel scope
         exceeds what XLA can fuse itself (measured in-graph on v5e —
         standalone LN/add kernels and the spatial attention+proj fusion all
@@ -450,8 +483,10 @@ class Block(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="attn",
-            )(x, (s1, b1), (s2, b2))
-            return self._fused_mlp(x2, y2, out_ln, transpose_b, B, N, C)
+            )(x, (s1, b1), (s2, b2), dp=None if dp is None else dp[0])
+            return self._fused_mlp(x2, y2, out_ln, transpose_b, B, N, C,
+                                   dp=None if dp is None else dp[1])
+        assert dp is None, "DropPath on the fused path needs fuse_level >= 4"
         y1 = nn.LayerNorm(
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
             name="norm1",
@@ -488,9 +523,10 @@ class Block(nn.Module):
 
         return self._fused_mlp(x2, y2, out_ln, transpose_b, B, N, C)
 
-    def _fused_mlp(self, x2, y2, out_ln, transpose_b, B, N, C):
+    def _fused_mlp(self, x2, y2, out_ln, transpose_b, B, N, C, dp=None):
         out_s, out_b = out_ln
-        from d3dp_tpu.ops.mlp import mlp_block_p, mlp_block_t_p
+        from d3dp_tpu.ops.mlp import (mlp_block_dp_p, mlp_block_p,
+                                      mlp_block_t_dp_p, mlp_block_t_p)
 
         w1, b1, w2, bb2 = MlpParams(C, int(C * self.mlp_ratio),
                                     self.param_dtype, name="mlp")()
@@ -498,13 +534,24 @@ class Block(nn.Module):
         if transpose_b is not None:
             B0 = transpose_b
             D1 = B // B0
-            out = mlp_block_t_p(
-                y2.reshape(B0, D1, N, C), x2.reshape(B0, D1, N, C),
-                w1, b1, w2, bb2, out_s, out_b, 1e-6)
+            if dp is not None:
+                out = mlp_block_t_dp_p(
+                    y2.reshape(B0, D1, N, C), x2.reshape(B0, D1, N, C),
+                    w1, b1, w2, bb2, out_s, out_b, dp.reshape(B0, D1), 1e-6)
+            else:
+                out = mlp_block_t_p(
+                    y2.reshape(B0, D1, N, C), x2.reshape(B0, D1, N, C),
+                    w1, b1, w2, bb2, out_s, out_b, 1e-6)
             return out.reshape(B0 * N, D1, C)
-        out = mlp_block_p(
-            y2.reshape(B * N, C), x2.reshape(B * N, C),
-            w1, b1, w2, bb2, out_s, out_b, 1e-6)
+        if dp is not None:
+            dp_rows = jnp.broadcast_to(dp[:, None], (B, N)).reshape(B * N)
+            out = mlp_block_dp_p(
+                y2.reshape(B * N, C), x2.reshape(B * N, C),
+                w1, b1, w2, bb2, out_s, out_b, dp_rows, 1e-6)
+        else:
+            out = mlp_block_p(
+                y2.reshape(B * N, C), x2.reshape(B * N, C),
+                w1, b1, w2, bb2, out_s, out_b, 1e-6)
         return out.reshape(B, N, C)
 
 

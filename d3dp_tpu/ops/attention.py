@@ -394,13 +394,24 @@ def _spatial_group():
 
 
 def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
-                       ln1b_ref, ln2s_ref, ln2b_ref, x2_ref, y2_ref, acc_ref,
-                       *args, scale, num_heads, head_dim, eps, f32_prec,
-                       mask_block=0, variant=""):
+                       ln1b_ref, ln2s_ref, ln2b_ref, *args, scale, num_heads,
+                       head_dim, eps, f32_prec, mask_block=0, variant="",
+                       has_dp=False):
     """The ENTIRE pre-LN attention stage in one VMEM pass:
     LN1 -> qkv projection -> attention -> out-projection -> residual ->
     LN2. Reads the residual stream once (3 activation passes of HBM traffic
-    instead of ~14 for the XLA composition)."""
+    instead of ~14 for the XLA composition).
+
+    has_dp: a per-row DropPath scale vector (tb, 1) arrives as the last
+    input; the attention branch (out-projection incl. its bias) is scaled
+    by it before the residual add — stochastic depth without leaving the
+    fused path (the TRAIN forward's reason to exist; reference
+    mixste.py:114)."""
+    if has_dp:
+        dp_ref, x2_ref, y2_ref, acc_ref, *scratch = args
+    else:
+        dp_ref = None
+        x2_ref, y2_ref, acc_ref, *scratch = args
     C = num_heads * head_dim
     prec = jax.lax.Precision.HIGHEST if f32_prec else None
     TB, N = x_ref.shape[0], x_ref.shape[1]
@@ -428,7 +439,7 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
         mask = jnp.where(bi == bj, 0.0, -1e30).astype(jnp.float32)
     if variant == "batched":
         assert mask is None, "grouped+batched variants do not compose"
-        qs_ref, ks_ref, vs_ref = args
+        qs_ref, ks_ref, vs_ref = scratch
         _stage_heads_batched(qkv, acc_ref, qs_ref, ks_ref, vs_ref, num_heads,
                              head_dim, C, scale, prec, fold_div, TB, N)
     elif variant == "pipelined":
@@ -448,7 +459,10 @@ def _attn_stage_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, ln1s_ref,
         acc_ref[:].reshape(TB * N, C), wp_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec).reshape(TB, N, C)
-    x2 = x_ref[:].astype(jnp.float32) + proj + bp_ref[:].astype(jnp.float32)
+    branch = proj + bp_ref[:].astype(jnp.float32)
+    if has_dp:
+        branch = branch * dp_ref[:].astype(jnp.float32)  # (TB, 1, 1)
+    x2 = x_ref[:].astype(jnp.float32) + branch
     x2_ref[:] = x2.astype(x2_ref.dtype)
 
     if variant == "noy2":
@@ -716,11 +730,16 @@ def _stage_heads_batched(qkv, acc_ref, qs_ref, ks_ref, vs_ref, num_heads,
 @partial(jax.jit, static_argnames=("num_heads", "scale", "eps", "interpret",
                                    "tb"))
 def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
-                         num_heads, scale, eps, interpret=None, tb=None):
+                         num_heads, scale, eps, interpret=None, tb=None,
+                         dp_row=None):
     B0, N0, C = x.shape
     B, N = B0, N0
     mask_block = 0
     group = _spatial_group()
+    if dp_row is not None:
+        # DropPath-scaled training path: the grouped/hmqkv lab variants
+        # are eval experiments — route to the production kernels
+        group = 1
     if group > 1 and N0 <= 32 and B0 % group == 0:
         # grouped spatial attention: row-major bitcast fold + masked softmax
         # (exact; see _spatial_group). LN/projections are row-wise so only
@@ -730,6 +749,8 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
         x = x.reshape(B, N, C)
     d = C // num_heads
     variant = _stage_variant(N0)
+    if dp_row is not None and variant not in ("", "batched", "bf16exp"):
+        variant = ""  # lab variants don't carry the DropPath input
     if interpret is None:
         interpret = _interpret_default()
     if (variant == "batched" and not interpret
@@ -804,17 +825,29 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
         )(x, wqkv_hm, bqkv_hm, wp, bp.reshape(1, C), ln1_s.reshape(1, C),
           ln1_b.reshape(1, C), ln2_s.reshape(1, C), ln2_b.reshape(1, C))
 
+    in_specs = [row_spec, wq_spec, v3_spec, wp_spec, vc_spec, vc_spec,
+                vc_spec, vc_spec, vc_spec]
+    inputs = [x, wqkv, bqkv.reshape(1, 3 * C), wp, bp.reshape(1, C),
+              ln1_s.reshape(1, C), ln1_b.reshape(1, C), ln2_s.reshape(1, C),
+              ln2_b.reshape(1, C)]
+    if dp_row is not None:
+        # (B, 1, 1) with a (tb, 1, 1) block: Mosaic constrains the LAST TWO
+        # block dims (divisible by (8, 128) or equal to the array dims) —
+        # trailing singletons satisfy 'equal', leaving tb unconstrained
+        in_specs.append(pl.BlockSpec((tb, 1, 1), lambda i: (i, 0, 0),
+                                     memory_space=mem))
+        inputs.append(dp_row.astype(jnp.float32).reshape(B, 1, 1))
     x2, y2 = pl.pallas_call(
         partial(_attn_stage_kernel, scale=scale, num_heads=num_heads,
                 head_dim=d, eps=eps, f32_prec=(x.dtype == jnp.float32),
-                mask_block=mask_block, variant=variant),
+                mask_block=mask_block, variant=variant,
+                has_dp=dp_row is not None),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, C), x.dtype),
             jax.ShapeDtypeStruct((B, N, C), x.dtype),
         ),
         grid=(B // tb,),
-        in_specs=[row_spec, wq_spec, v3_spec, wp_spec, vc_spec, vc_spec,
-                  vc_spec, vc_spec, vc_spec],
+        in_specs=in_specs,
         out_specs=(row_spec, row_spec),
         scratch_shapes=[pltpu.VMEM((tb, N, C), x.dtype)] + (
             [pltpu.VMEM((num_heads * tb, N, d), x.dtype)] * 3
@@ -828,9 +861,7 @@ def _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
             bytes_accessed=3 * B * N * C * x.dtype.itemsize,
             transcendentals=B * num_heads * N * N,
         ),
-    )(x, wqkv, bqkv.reshape(1, 3 * C), wp, bp.reshape(1, C),
-      ln1_s.reshape(1, C), ln1_b.reshape(1, C), ln2_s.reshape(1, C),
-      ln2_b.reshape(1, C))
+    )(*inputs)
     if mask_block:
         x2 = x2.reshape(B0, N0, C)
         y2 = y2.reshape(B0, N0, C)
@@ -856,6 +887,20 @@ def _attention_stage_p_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
 def _attention_stage_p_bwd(num_heads, scale, eps, resids, grads):
     """Backward: XLA recompute of LN1/qkv + the Pallas attention fwd/bwd
     kernels for the attention core; weight grads are XLA batch reductions."""
+    return _stage_bwd_impl(num_heads, scale, eps, resids, grads, dp_row=None)
+
+
+def _stage_bwd_impl(num_heads, scale, eps, resids, grads, dp_row=None):
+    """Shared stage backward. With dp_row (per-row DropPath scale s):
+    x2 = x + s*(a @ wp + bp), so the branch-side cotangent is s*ds while
+    the residual passthrough to x stays unscaled.
+
+    Matmul operands run in the FORWARD's compute dtype (`md`) with fp32
+    accumulation: fp32 keeps the HIGHEST-precision passes (grad-parity
+    tests pin ≤2e-4 vs XLA autodiff); bf16 keeps the MXU on bf16 passes —
+    upcasting the einsum operands to fp32 here quartered the backward's
+    matmul rate on v5e and made the fused train step SLOWER than the
+    composed path (r4 train lab, PERFORMANCE.md)."""
     x, wqkv, bqkv, wp, ln1_s, ln1_b, ln2_s, x2 = resids
     gx2, gy2 = grads
 
@@ -867,44 +912,48 @@ def _attention_stage_p_bwd(num_heads, scale, eps, resids, grads):
             "D3DP_SPATIAL_GROUP is an eval/sampling-path optimization; the "
             "stage backward recomputes ungrouped attention — unset the env "
             "var for training")
-    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    md = x.dtype  # matmul operand dtype (the forward kernel's compute dtype)
+    prec = jax.lax.Precision.HIGHEST if md == jnp.float32 else None
+    f32 = jnp.float32
 
     # recompute forward intermediates
-    x32 = x.astype(jnp.float32).reshape(B * N, C)
+    x32 = x.astype(f32).reshape(B * N, C)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
     xhat = (x32 - mu) * rstd
-    y1 = (xhat * ln1_s.astype(jnp.float32)
-          + ln1_b.astype(jnp.float32)).astype(x.dtype)
+    y1 = (xhat * ln1_s.astype(f32) + ln1_b.astype(f32)).astype(md)
     # same matmul precision as the forward kernel (fp32 defaults low here)
-    qkv = jnp.matmul(y1, wqkv.astype(y1.dtype),
+    qkv = jnp.matmul(y1, wqkv.astype(md),
                      precision=prec).reshape(B, N, 3 * C)
     qkv = qkv + bqkv.astype(qkv.dtype)
     a = fused_attention_qkv(qkv, num_heads, scale)
 
     # LN2 backward
     ds, dln2_s, dln2_b = _ln_bwd_rows(
-        x2.reshape(B * N, C).astype(jnp.float32), ln2_s,
+        x2.reshape(B * N, C).astype(f32), ln2_s,
         gy2.reshape(B * N, C), eps)
     ds = ds.reshape(B, N, C)
     if gx2 is not None:
-        ds = ds + gx2.astype(jnp.float32)
+        ds = ds + gx2.astype(f32)
 
-    # x2 = x + a @ wp + bp
-    dwp = jnp.einsum("bnc,bnd->cd", a.astype(jnp.float32), ds,
-                     precision=prec).astype(wp.dtype)
-    dbp = jnp.sum(ds, axis=(0, 1)).astype(wp.dtype)
-    da = jnp.einsum("bnd,cd->bnc", ds, wp.astype(jnp.float32),
-                    precision=prec).astype(qkv.dtype)
+    # x2 = x + [s *] (a @ wp + bp)
+    ds_b = ds if dp_row is None else \
+        ds * dp_row.astype(f32).reshape(-1, 1, 1)
+    ds_m = ds_b.astype(md)
+    dwp = jnp.einsum("bnc,bnd->cd", a.astype(md), ds_m, precision=prec,
+                     preferred_element_type=f32).astype(wp.dtype)
+    dbp = jnp.sum(ds_b, axis=(0, 1)).astype(wp.dtype)
+    da = jnp.einsum("bnd,cd->bnc", ds_m, wp.astype(md), precision=prec,
+                    preferred_element_type=f32).astype(qkv.dtype)
     dqkv = _fused_attention_qkv_bwd(qkv, da, num_heads, scale)
 
-    dqkv_f = dqkv.reshape(B * N, 3 * C).astype(jnp.float32)
-    dbqkv = jnp.sum(dqkv_f, axis=0).astype(wqkv.dtype)
-    dwqkv = jnp.einsum("rc,rk->ck", y1.astype(jnp.float32), dqkv_f,
-                       precision=prec).astype(wqkv.dtype)
-    dy1 = jnp.einsum("rk,ck->rc", dqkv_f, wqkv.astype(jnp.float32),
-                     precision=prec)
+    dqkv_m = dqkv.reshape(B * N, 3 * C).astype(md)
+    dbqkv = jnp.sum(dqkv_m.astype(f32), axis=0).astype(wqkv.dtype)
+    dwqkv = jnp.einsum("rc,rk->ck", y1, dqkv_m, precision=prec,
+                       preferred_element_type=f32).astype(wqkv.dtype)
+    dy1 = jnp.einsum("rk,ck->rc", dqkv_m, wqkv.astype(md), precision=prec,
+                     preferred_element_type=f32)
 
     # LN1 backward (reuse stats)
     gs1 = dy1 * ln1_s.astype(jnp.float32)
@@ -919,6 +968,37 @@ def _attention_stage_p_bwd(num_heads, scale, eps, resids, grads):
 
 
 attention_stage_p.defvjp(_attention_stage_p_fwd, _attention_stage_p_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def attention_stage_dp_p(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s, ln2_b,
+                         dp_row, num_heads, scale, eps):
+    """attention_stage_p with per-row DropPath (stochastic depth):
+    x2 = x + dp_row*(proj(attn(qkv(LN1(x)))) incl. proj bias), y2 = LN2(x2).
+    dp_row: (B,) scale vector (bernoulli(keep)/keep draws, or any per-row
+    scale); non-differentiable (zero cotangent). This keeps the TRAINING
+    forward on the fused two-kernel-per-block path — the reference trains
+    with drop_path_rate=0.1 (diffusionpose.py:121-123)."""
+    return _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s,
+                                ln2_b, num_heads, scale, eps, dp_row=dp_row)
+
+
+def _attention_stage_dp_p_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s,
+                              ln2_b, dp_row, num_heads, scale, eps):
+    out = _attention_stage_fwd(x, wqkv, bqkv, wp, bp, ln1_s, ln1_b, ln2_s,
+                               ln2_b, num_heads, scale, eps, dp_row=dp_row)
+    return out, (x, wqkv, bqkv, wp, ln1_s, ln1_b, ln2_s, out[0], dp_row)
+
+
+def _attention_stage_dp_p_bwd(num_heads, scale, eps, resids, grads):
+    dp_row = resids[-1]
+    base = _stage_bwd_impl(num_heads, scale, eps, resids[:-1], grads,
+                           dp_row=dp_row)
+    return base + (jnp.zeros_like(dp_row),)
+
+
+attention_stage_dp_p.defvjp(_attention_stage_dp_p_fwd,
+                            _attention_stage_dp_p_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))

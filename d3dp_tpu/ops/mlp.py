@@ -78,7 +78,11 @@ def _gelu_inkernel(h32, f32_prec):
 
 
 def _mlp_block_kernel(x_ref, res_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                      lns_ref, lnb_ref, o_ref, *, eps, f32_prec):
+                      lns_ref, lnb_ref, *args, eps, f32_prec, has_dp=False):
+    if has_dp:
+        dp_ref, o_ref = args
+    else:
+        dp_ref, (o_ref,) = None, args
     prec = jax.lax.Precision.HIGHEST if f32_prec else None
     h = jax.lax.dot_general(
         x_ref[:], w1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -88,7 +92,13 @@ def _mlp_block_kernel(x_ref, res_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         h.astype(x_ref.dtype), w2_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
-    s = res_ref[:].astype(jnp.float32) + out + b2_ref[:].astype(jnp.float32)
+    branch = out + b2_ref[:].astype(jnp.float32)
+    if has_dp:
+        # per-row DropPath scale on the whole MLP branch (incl. fc2 bias);
+        # dp block is (TR, 1, 1) — drop the trailing singleton to broadcast
+        # against the (TR, C) rows
+        branch = branch * dp_ref[:].astype(jnp.float32).reshape(-1, 1)
+    s = res_ref[:].astype(jnp.float32) + branch
 
     mu = jnp.mean(s, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(s - mu), axis=-1, keepdims=True)
@@ -99,7 +109,7 @@ def _mlp_block_kernel(x_ref, res_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 @partial(jax.jit, static_argnames=("eps", "interpret", "tr"))
 def _mlp_block_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
-                   interpret=None, tr=None):
+                   interpret=None, tr=None, dp=None):
     R, C = x.shape
     H = w1.shape[1]
     if interpret is None:
@@ -115,13 +125,22 @@ def _mlp_block_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
     w2_spec = pl.BlockSpec((H, C), lambda i: (0, 0), memory_space=mem)
     vc_spec = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=mem)
     vh_spec = pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=mem)
+    in_specs = [row_spec, row_spec, w1_spec, vh_spec, w2_spec, vc_spec,
+                vc_spec, vc_spec]
+    inputs = [x, res, w1, b1.reshape(1, H), w2, b2.reshape(1, C),
+              ln_scale.reshape(1, C), ln_bias.reshape(1, C)]
+    if dp is not None:
+        # trailing singletons keep Mosaic's last-two-dims block constraint
+        # trivially satisfied for any row tile tr
+        in_specs.append(pl.BlockSpec((tr, 1, 1), lambda i: (i, 0, 0),
+                                     memory_space=mem))
+        inputs.append(dp.astype(jnp.float32).reshape(R, 1, 1))
     return pl.pallas_call(
         partial(_mlp_block_kernel, eps=eps,
-                f32_prec=(x.dtype == jnp.float32)),
+                f32_prec=(x.dtype == jnp.float32), has_dp=dp is not None),
         out_shape=jax.ShapeDtypeStruct((R, C), x.dtype),
         grid=(pl.cdiv(R, tr),),
-        in_specs=[row_spec, row_spec, w1_spec, vh_spec, w2_spec, vc_spec,
-                  vc_spec, vc_spec],
+        in_specs=in_specs,
         out_specs=row_spec,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -131,16 +150,23 @@ def _mlp_block_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
             bytes_accessed=3 * R * C * x.dtype.itemsize,
             transcendentals=R * H,
         ),
-    )(x, res, w1, b1.reshape(1, H), w2, b2.reshape(1, C),
-      ln_scale.reshape(1, C), ln_bias.reshape(1, C))
+    )(*inputs)
 
 
 def _mlp_block_t_kernel(x_ref, res_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                        lns_ref, lnb_ref, o_ref, *, eps, f32_prec):
+                        lns_ref, lnb_ref, *args, eps, f32_prec,
+                        has_dp=False):
     """Transposing variant: identical math on a (1, D1, D2, C) tile, but the
     output tile is (1, D2, D1, C) — the swap happens in VMEM so the layout
     change rides the kernel's output DMA instead of a standalone XLA
-    transpose over the full activation set."""
+    transpose over the full activation set.
+
+    has_dp: per-row DropPath scale, (1, D1-block, 1) tile aligned with the
+    tile's leading (row-derived) axis — constant across the D2 token axis."""
+    if has_dp:
+        dp_ref, o_ref = args
+    else:
+        dp_ref, (o_ref,) = None, args
     prec = jax.lax.Precision.HIGHEST if f32_prec else None
     x = x_ref[0]
     # collapse the (tile, D) leading dims so the matmuls see one (tile*D, C)
@@ -157,7 +183,11 @@ def _mlp_block_t_kernel(x_ref, res_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
     out = out.reshape(D1_, D2_, C_)
-    s = res_ref[0].astype(jnp.float32) + out + b2_ref[:].astype(jnp.float32)
+    branch = out + b2_ref[:].astype(jnp.float32)
+    if has_dp:
+        # dp block (1, D1_, 1, 1) -> (D1_, 1, 1) broadcast over the tile
+        branch = branch * dp_ref[0].astype(jnp.float32)
+    s = res_ref[0].astype(jnp.float32) + branch
 
     mu = jnp.mean(s, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(s - mu), axis=-1, keepdims=True)
@@ -168,9 +198,11 @@ def _mlp_block_t_kernel(x_ref, res_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 @partial(jax.jit, static_argnames=("eps", "interpret", "tile"))
 def _mlp_block_t_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
-                     interpret=None, tile=None):
+                     interpret=None, tile=None, dp=None):
     """x/res: (B, D1, D2, C) -> out (B, D2, D1, C). Tiles the larger of
-    D1/D2 (the frame axis); the 17-joint axis always rides whole."""
+    D1/D2 (the frame axis); the 17-joint axis always rides whole.
+    dp: optional (B, D1) per-row DropPath scales (rows of the pre-reshape
+    (B*D1, D2, C) stage input)."""
     B, D1, D2, C = x.shape
     H = w1.shape[1]
     if interpret is None:
@@ -206,13 +238,28 @@ def _mlp_block_t_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
     w2_spec = pl.BlockSpec((H, C), lambda b, t: (0, 0), memory_space=mem)
     vc_spec = pl.BlockSpec((1, C), lambda b, t: (0, 0), memory_space=mem)
     vh_spec = pl.BlockSpec((1, H), lambda b, t: (0, 0), memory_space=mem)
+    in_specs = [in_spec, in_spec, w1_spec, vh_spec, w2_spec, vc_spec,
+                vc_spec, vc_spec]
+    inputs = [x, res, w1, b1.reshape(1, H), w2, b2.reshape(1, C),
+              ln_scale.reshape(1, C), ln_bias.reshape(1, C)]
+    if dp is not None:
+        # (B, D1, 1, 1): the trailing singletons satisfy Mosaic's last-two-
+        # dims block constraint for any D1 tile
+        if tile_first:
+            dp_spec = pl.BlockSpec((1, tile, 1, 1),
+                                   lambda b, t: (b, t, 0, 0),
+                                   memory_space=mem)
+        else:
+            dp_spec = pl.BlockSpec((1, D1, 1, 1), lambda b, t: (b, 0, 0, 0),
+                                   memory_space=mem)
+        in_specs.append(dp_spec)
+        inputs.append(dp.astype(jnp.float32).reshape(B, D1, 1, 1))
     return pl.pallas_call(
         partial(_mlp_block_t_kernel, eps=eps,
-                f32_prec=(x.dtype == jnp.float32)),
+                f32_prec=(x.dtype == jnp.float32), has_dp=dp is not None),
         out_shape=jax.ShapeDtypeStruct((B, D2, D1, C), x.dtype),
         grid=grid,
-        in_specs=[in_spec, in_spec, w1_spec, vh_spec, w2_spec, vc_spec,
-                  vc_spec, vc_spec],
+        in_specs=in_specs,
         out_specs=out_spec,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -222,8 +269,7 @@ def _mlp_block_t_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
             bytes_accessed=3 * B * D1 * D2 * C * x.dtype.itemsize,
             transcendentals=B * D1 * D2 * H,
         ),
-    )(x, res, w1, b1.reshape(1, H), w2, b2.reshape(1, C),
-      ln_scale.reshape(1, C), ln_bias.reshape(1, C))
+    )(*inputs)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(8,))
@@ -262,38 +308,119 @@ def _mlp_block_p_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps):
 
 
 def _mlp_block_p_bwd(eps, resids, gy):
+    return _mlp_bwd_impl(eps, resids, gy, dp=None)
+
+
+def _mlp_bwd_impl(eps, resids, gy, dp=None):
+    """Shared MLP-block backward. With dp (per-row DropPath scale s, (R,1)):
+    s32 = res + s*(fc2(gelu(fc1(x))) + b2) — the branch-side cotangent is
+    s*ds while the residual passthrough stays unscaled.
+
+    Matmuls run in the forward's compute dtype (`md`) with fp32
+    accumulation — fp32 passes keep HIGHEST precision (grad-parity tests);
+    bf16 passes keep the MXU at full rate (upcasting the backward einsums
+    to fp32 quartered their throughput on v5e — r4 train lab). The GELU
+    recompute/derivative stays fp32 elementwise (VPU, precision-critical)."""
     from d3dp_tpu.ops.norm import _ln_bwd_rows
 
     x, res, w1, b1, w2, b2, ln_scale = resids
-    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
-    x32 = x.astype(jnp.float32)
+    md = x.dtype
+    prec = jax.lax.Precision.HIGHEST if md == jnp.float32 else None
+    f32 = jnp.float32
     # recomputed activations must use the same (HIGHEST for fp32) matmul
     # precision as the forward kernel — this build defaults fp32 matmuls low
-    pre = jnp.matmul(x32, w1.astype(jnp.float32),
-                     precision=prec) + b1.astype(jnp.float32)
+    pre = jnp.matmul(x, w1.astype(md), precision=prec,
+                     preferred_element_type=f32) + b1.astype(f32)
     h = _gelu_exact(pre, exact_erf=True)
-    hb = h.astype(x.dtype)
-    s32 = (res.astype(jnp.float32)
-           + jnp.matmul(hb.astype(jnp.float32), w2.astype(jnp.float32),
-                        precision=prec)
-           + b2.astype(jnp.float32))
+    hb = h.astype(md)
+    branch32 = (jnp.matmul(hb, w2.astype(md), precision=prec,
+                           preferred_element_type=f32)
+                + b2.astype(f32))
+    if dp is not None:
+        dp32 = dp.astype(f32).reshape(-1, 1)
+        branch32 = branch32 * dp32
+    s32 = res.astype(f32) + branch32
 
     ds, dln_scale, dln_bias = _ln_bwd_rows(s32, ln_scale, gy, eps)
     dres = ds.astype(res.dtype)
-    dw2 = jnp.einsum("rh,rc->hc", hb.astype(jnp.float32), ds,
-                     precision=prec).astype(w2.dtype)
-    db2 = jnp.sum(ds, axis=0).astype(b2.dtype)
-    dh = jnp.einsum("rc,hc->rh", ds, w2.astype(jnp.float32), precision=prec)
+    ds_b = ds if dp is None else ds * dp32
+    ds_m = ds_b.astype(md)
+    dw2 = jnp.einsum("rh,rc->hc", hb, ds_m, precision=prec,
+                     preferred_element_type=f32).astype(w2.dtype)
+    db2 = jnp.sum(ds_b, axis=0).astype(b2.dtype)
+    dh = jnp.einsum("rc,hc->rh", ds_m, w2.astype(md), precision=prec,
+                    preferred_element_type=f32)
     # d gelu(p) = 0.5*(1+erf(p/sqrt2)) + p * pdf(p)
     dpre = dh * (0.5 * (1.0 + jax.lax.erf(pre * (2.0**-0.5)))
                  + pre * jnp.exp(-0.5 * pre * pre) * (2.0 * jnp.pi) ** -0.5)
-    dw1 = jnp.einsum("rc,rh->ch", x32, dpre, precision=prec).astype(w1.dtype)
+    dpre_m = dpre.astype(md)
+    dw1 = jnp.einsum("rc,rh->ch", x, dpre_m, precision=prec,
+                     preferred_element_type=f32).astype(w1.dtype)
     db1 = jnp.sum(dpre, axis=0).astype(b1.dtype)
-    dx = jnp.einsum("rh,ch->rc", dpre, w1.astype(jnp.float32),
-                    precision=prec).astype(x.dtype)
+    dx = jnp.einsum("rh,ch->rc", dpre_m, w1.astype(md), precision=prec,
+                    preferred_element_type=f32).astype(x.dtype)
     return (dx, dres, dw1, db1, dw2, db2, dln_scale.astype(ln_scale.dtype),
             dln_bias.astype(ln_scale.dtype))
 
 
 mlp_block_p.defvjp(_mlp_block_p_fwd, _mlp_block_p_bwd)
 mlp_block_t_p.defvjp(_mlp_block_t_p_fwd, _mlp_block_t_p_bwd)
+
+
+# ---------------------------------------------------------------- DropPath
+# Training-path variants: y = LN(res + dp*(fc2(gelu(fc1(x))) + b2)) with a
+# per-row stochastic-depth scale dp (bernoulli(keep)/keep draws). These keep
+# the TRAIN forward on the fused kernels — the reference trains with
+# drop_path_rate=0.1 (diffusionpose.py:121-123). dp is non-differentiable.
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9,))
+def mlp_block_dp_p(x, res, w1, b1, w2, b2, ln_scale, ln_bias, dp, eps):
+    """mlp_block_p with a per-row DropPath scale dp: (R,) or (R, 1)."""
+    return _mlp_block_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
+                          dp=dp)
+
+
+def _mlp_block_dp_p_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, dp, eps):
+    out = _mlp_block_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
+                         dp=dp)
+    return out, (x, res, w1, b1, w2, b2, ln_scale, dp)
+
+
+def _mlp_block_dp_p_bwd(eps, resids, gy):
+    dp = resids[-1]
+    grads = _mlp_bwd_impl(eps, resids[:-1], gy, dp=dp)
+    return grads + (jnp.zeros_like(dp),)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9,))
+def mlp_block_t_dp_p(x, res, w1, b1, w2, b2, ln_scale, ln_bias, dp, eps):
+    """mlp_block_t_p with per-row DropPath scales dp: (B, D1) — one scale
+    per row of the stage's pre-reshape (B*D1, D2, C) input."""
+    return _mlp_block_t_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
+                            dp=dp)
+
+
+def _mlp_block_t_dp_p_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, dp,
+                          eps):
+    out = _mlp_block_t_fwd(x, res, w1, b1, w2, b2, ln_scale, ln_bias, eps,
+                           dp=dp)
+    return out, (x, res, w1, b1, w2, b2, ln_scale, dp)
+
+
+def _mlp_block_t_dp_p_bwd(eps, resids, gy):
+    x, res, w1, b1, w2, b2, ln_scale, dp = resids
+    B, D1, D2, C = x.shape
+    gy_flat = jnp.swapaxes(gy, 1, 2).reshape(B * D1 * D2, C)
+    dp_flat = jnp.broadcast_to(
+        dp.astype(jnp.float32).reshape(B, D1, 1), (B, D1, D2)
+    ).reshape(B * D1 * D2, 1)
+    grads = _mlp_bwd_impl(
+        eps, (x.reshape(B * D1 * D2, C), res.reshape(B * D1 * D2, C),
+              w1, b1, w2, b2, ln_scale), gy_flat, dp=dp_flat)
+    dx, dres = grads[0].reshape(x.shape), grads[1].reshape(res.shape)
+    return (dx, dres) + grads[2:] + (jnp.zeros_like(dp),)
+
+
+mlp_block_dp_p.defvjp(_mlp_block_dp_p_fwd, _mlp_block_dp_p_bwd)
+mlp_block_t_dp_p.defvjp(_mlp_block_t_dp_p_fwd, _mlp_block_t_dp_p_bwd)

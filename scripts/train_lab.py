@@ -17,6 +17,7 @@ Run (pty-wrapped survives >600 s):
   nohup script -qec "python scripts/train_lab.py" /dev/null > /tmp/train_lab.log 2>&1 &
 """
 
+import argparse
 import json
 import sys
 import time
@@ -52,10 +53,17 @@ def timeit(fn, n=10):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dpr", type=float, default=0.1,
+                    help="drop_path_rate: 0.1 = reference training config; "
+                         "0.0 engages the fused stage kernels (diagnostic "
+                         "for the DropPath fused-path gap)")
+    ap.add_argument("--batches", type=int, nargs="+", default=[4, 8, 16, 32])
+    opts = ap.parse_args()
     d3dp = D3DP(
         D3DPConfig(
             model=MixSTEConfig(num_frames=F, embed_dim=512, depth=8,
-                               drop_path_rate=0.1, dtype=jnp.bfloat16,
+                               drop_path_rate=opts.dpr, dtype=jnp.bfloat16,
                                attention_impl="pallas"),
             num_proposals=1, sampling_timesteps=1,
         )
@@ -83,7 +91,7 @@ def main():
 
     rng = np.random.RandomState(0)
     results = []
-    for B in (4, 8, 16, 32):
+    for B in opts.batches:
         x2d = jnp.asarray(rng.randn(B, F, J, 2) * 0.3, jnp.float32)
         x3d = jnp.asarray(rng.randn(B, F, J, 3) * 0.3, jnp.float32)
         w = jnp.ones((B,), jnp.float32)
@@ -111,7 +119,8 @@ def main():
         results.append(out)
         print(json.dumps(out), flush=True)
 
-    print(json.dumps({"device": str(jax.devices()[0]), "cells": results}))
+    print(json.dumps({"device": str(jax.devices()[0]), "dpr": opts.dpr,
+                      "cells": results}))
 
 
 if __name__ == "__main__":
