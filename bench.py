@@ -23,6 +23,7 @@ REFERENCE_HF_PER_SEC below freezes that estimate.
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -90,6 +91,20 @@ def main(opts=None):
     from d3dp_tpu.models import MixSTEConfig
 
     dev = jax.devices()[0]
+
+    # Remote-TPU tunnel health gate: the tunnel's throughput varies wildly
+    # over hours; timing in a degraded window records a falsely slow number.
+    # Probe with a trivial op and wait (bounded) for a healthy window before
+    # measuring — on local devices (CPU tests, real pods) the probe passes
+    # instantly and this is a no-op.
+    for _ in range(8):
+        t0 = time.perf_counter()
+        float(jnp.sum(jnp.ones((1024, 1024))))
+        if time.perf_counter() - t0 < 20.0:
+            break
+        print(f"# tunnel degraded (probe {time.perf_counter()-t0:.0f}s); "
+              "waiting for a healthy window", file=sys.stderr, flush=True)
+        time.sleep(60)
 
     reuse = max(opts.ddim_reuse, 1)
     d3dp = D3DP(

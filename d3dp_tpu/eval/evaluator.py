@@ -292,12 +292,16 @@ class Evaluator:
 
                 errors_p2 = None
                 if self.p2:
+                    # host slices, not np.asarray(take(...))[:n]: the
+                    # unpadded rows are bit-identical and already in RAM —
+                    # the device round-trip costs 3 tunnel transfers per
+                    # micro-batch for nothing
                     errors_p2 = self._p2_host(
                         np.asarray(preds)[:n],
-                        np.asarray(take(w3d))[:n],
-                        np.asarray(take(w2d))[:n],
+                        w3d[lo:hi],
+                        w2d[lo:hi],
                         cam_vec,
-                        np.asarray(take(traj))[:n],
+                        traj[lo:hi],
                     )
                 result.add(errors, errors_p2, weight=n * rf)
                 # backpressure: error vectors stay on device (no per-batch

@@ -9,28 +9,10 @@
 #
 #   nohup script -qec "bash scripts/r4b_train_campaign.sh" /dev/null > /tmp/r4b.log 2>&1 &
 set -u -o pipefail
-cd "$(dirname "$0")/.."
-export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$HOME/.cache/d3dp_tpu/jax}"
-
-probe() {
-  timeout 120 python -c "
-import time, jax, jax.numpy as jnp
-t0=time.time(); s=float(jnp.sum(jnp.ones((1024,1024))))
-el=time.time()-t0
-print(f'probe {el:.2f}s', flush=True); raise SystemExit(0 if el < 20 else 1)"
-}
-wait_healthy() {
-  until probe; do echo "DEGRADED $(date) — sleeping"; sleep 420; done
-  echo "HEALTHY $(date)"
-}
-run() {
-  name="$1"; shift
-  echo "== $name: $* =="
-  env "$@" > "/tmp/r4b_cell_${name}.out" 2>&1
-  rc=$?
-  tail -1 "/tmp/r4b_cell_${name}.out"
-  echo "rc=$rc ($name)"
-}
+SCRIPT_DIR="$(cd "$(dirname "$0")" && pwd)"
+cd "$SCRIPT_DIR/.."
+CELL_PREFIX=r4b
+source "$SCRIPT_DIR/campaign_common.sh"
 
 echo "CAMPAIGN START $(date)"
 wait_healthy

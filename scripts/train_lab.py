@@ -107,7 +107,11 @@ def main():
         try:
             ms_step = timeit(run_step)
         except Exception as e:  # noqa: BLE001 — record OOM/compile failures per cell
-            print(json.dumps({"B": B, "error": str(e)[:200]}), flush=True)
+            # keep the error IN the summary line: campaign runners read only
+            # the last stdout line, so a bare cells:[] hid real failures
+            # (r4b ctlB's Mosaic block-shape error looked like a no-op cell)
+            results.append({"B": B, "error": str(e)[:200]})
+            print(json.dumps(results[-1]), flush=True)
             break
         ms_loss = timeit(lambda: loss_fn(params, key, x2d, x3d, w))
         ms_grad = timeit(lambda: grad_fn(params, key, x2d, x3d, w))

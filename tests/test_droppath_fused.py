@@ -151,6 +151,45 @@ def test_attention_stage_dp_kernel(rng):
     np.testing.assert_allclose(np.asarray(gy2), np.asarray(y2), atol=2e-5)
 
 
+def test_attention_stage_dp_kernel_batched_variant(rng):
+    """Ops-level at N=128: the temporal stage's default `batched` variant
+    (head-major scratch AFTER the dp ref in the kernel's *args) with
+    DropPath — the production TRAIN config runs exactly batched+dp, but
+    every other test here uses N<128 where the variant is ''. Pins the
+    dp/scratch unpack ordering fwd + bwd against the unscaled stage
+    recombination (same identity as test_attention_stage_dp_kernel)."""
+    from d3dp_tpu.ops.attention import attention_stage_dp_p, attention_stage_p
+
+    B, N, C, h = 4, 128, 64, 4
+    x = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+    wqkv = jnp.asarray(rng.randn(C, 3 * C) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(rng.randn(3 * C) * 0.01, jnp.float32)
+    wp = jnp.asarray(rng.randn(C, C) * 0.05, jnp.float32)
+    bp = jnp.asarray(rng.randn(C) * 0.01, jnp.float32)
+    ones, zeros = jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32)
+    s = jnp.asarray(rng.rand(B) * 2.0, jnp.float32)
+
+    def via_unscaled(x):
+        x2b, _ = attention_stage_p(x, wqkv, bqkv, wp, bp, ones, zeros, ones,
+                                   zeros, h, 0.125, 1e-6)
+        x2 = x + s[:, None, None] * (x2b - x)
+        mu = x2.mean(-1, keepdims=True)
+        var = jnp.square(x2 - mu).mean(-1, keepdims=True)
+        return x2, (x2 - mu) * jax.lax.rsqrt(var + 1e-6)
+
+    x2, y2 = via_unscaled(x)
+    gx2, gy2 = attention_stage_dp_p(x, wqkv, bqkv, wp, bp, ones, zeros,
+                                    ones, zeros, s, h, 0.125, 1e-6)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(x2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gy2), np.asarray(y2), atol=2e-5)
+
+    g_dp = jax.grad(lambda a: jnp.sum(jnp.square(attention_stage_dp_p(
+        a, wqkv, bqkv, wp, bp, ones, zeros, ones, zeros, s, h, 0.125,
+        1e-6)[1])))(x)
+    g_ref = jax.grad(lambda a: jnp.sum(jnp.square(via_unscaled(a)[1])))(x)
+    np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_ref), atol=2e-4)
+
+
 def test_mlp_dp_kernels(rng):
     """Ops-level: both mlp dp kernels against explicit XLA math, and their
     VJPs against autodiff of that math."""
