@@ -405,14 +405,24 @@ class Block(nn.Module):
         the fused path the relayout rides the MLP kernel's output DMA."""
         dp_active = (not deterministic) and self.drop_path > 0.0
         dp = self._droppath_masks(x.shape[0]) if dp_active else None
-        dp_fused_ok = (self.fuse_level >= 4 and self.qkv_bias
-                       and os.environ.get("D3DP_DP_FUSED", "1") != "0")
+        dp_fused_ok = self.fuse_level >= 4 and self.qkv_bias
+        # The fused STAGE kernels are an EVAL/SAMPLING win only: their
+        # custom-VJP backward (XLA recompute + per-stage Pallas calls)
+        # measured 37% slower than autodiff through the composed path at
+        # train shapes (74.2 vs 54.1 ms/step, r4c paired cells — the fused
+        # forward wins 16.1 vs 18.6 ms but the backward loses 56.6 vs
+        # 33.7; PERFORMANCE.md r4). Training therefore defaults to the
+        # composed path (which still runs the Pallas attention CORE — the
+        # qualified bf16 fast path); D3DP_TRAIN_FUSED=1 opts the training
+        # forward back onto the stage kernels for lab measurement.
+        train_fused = os.environ.get("D3DP_TRAIN_FUSED", "0") == "1"
         if self.attention_impl == "pallas" and self.drop == 0.0 and \
                 self.attn_drop == 0.0 and out_ln is not None and \
+                (deterministic or train_fused) and \
                 (not dp_active or dp_fused_ok):
             # active DropPath rides the fuse>=4 kernels as per-row branch
             # scales (ops/attention.py attention_stage_dp_p, ops/mlp.py
-            # mlp_block[_t]_dp_p) — training stays on the fused path
+            # mlp_block[_t]_dp_p)
             return self._fused(x, deterministic, out_ln, transpose_b, dp=dp)
         ln = lambda name: nn.LayerNorm(
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name=name

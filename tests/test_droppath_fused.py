@@ -36,10 +36,16 @@ def _data(rng, B=3, F=9, J=17):
     return x2d, x3d, t
 
 
-def test_train_forward_fused_matches_composed(rng):
+def test_train_forward_fused_matches_composed(rng, monkeypatch):
     """fp32 train-mode forward, drop_path_rate=0.5: the fused dp kernels
     produce the same output as the composed XLA path under the same
-    dropout rng (the masks are drawn identically in Block)."""
+    dropout rng (the masks are drawn identically in Block).
+
+    D3DP_TRAIN_FUSED=1: since r4c measured the fused stage kernels' custom
+    VJP 37% slower than composed autodiff at train shapes, the TRAINING
+    forward defaults to the composed path — the dp kernels are opt-in and
+    these tests pin them against the default."""
+    monkeypatch.setenv("D3DP_TRAIN_FUSED", "1")
     x2d, x3d, t = _data(rng)
     params = _mk("xla", 0, 0.5).init(jax.random.PRNGKey(0), x2d, x3d, t)
     rngs = {"dropout": jax.random.PRNGKey(7)}
@@ -55,9 +61,10 @@ def test_train_forward_fused_matches_composed(rng):
     assert not np.allclose(np.asarray(got), np.asarray(other))
 
 
-def test_train_grads_fused_match_composed(rng):
+def test_train_grads_fused_match_composed(rng, monkeypatch):
     """Whole-model gradients through the dp kernels' custom VJPs equal the
     composed path's autodiff under the same masks (fp32)."""
+    monkeypatch.setenv("D3DP_TRAIN_FUSED", "1")
     x2d, x3d, t = _data(rng, B=2)
     params = _mk("xla", 0, 0.5).init(jax.random.PRNGKey(0), x2d, x3d, t)
     rngs = {"dropout": jax.random.PRNGKey(3)}
@@ -86,9 +93,10 @@ def test_eval_path_unaffected(rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_sharded_train_step_with_dp_kernels(rng):
+def test_sharded_train_step_with_dp_kernels(rng, monkeypatch):
     """The dp-fused training path under a dp x tp mesh: sharded train step
     == unsharded (same rng => same DropPath masks), pallas fuse-4."""
+    monkeypatch.setenv("D3DP_TRAIN_FUSED", "1")
     from d3dp_tpu.diffusion import D3DP, D3DPConfig
     from d3dp_tpu.parallel import batch_sharding, make_mesh, shard_params
     from d3dp_tpu.train.state import TrainState, make_optimizer, make_train_step
