@@ -96,12 +96,17 @@ def main(opts=None):
     # over hours; timing in a degraded window records a falsely slow number.
     # Probe with a trivial op and wait (bounded) for a healthy window before
     # measuring — on local devices (CPU tests, real pods) the probe passes
-    # instantly and this is a no-op.
-    for _ in range(8):
+    # instantly and this is a no-op. If all probes fail we still measure,
+    # but the emitted JSON carries "tunnel_degraded": true so a falsely
+    # slow record is distinguishable downstream.
+    tunnel_degraded = False
+    for attempt in range(8):
         t0 = time.perf_counter()
         float(jnp.sum(jnp.ones((1024, 1024))))
         if time.perf_counter() - t0 < 20.0:
+            tunnel_degraded = False
             break
+        tunnel_degraded = True
         print(f"# tunnel degraded (probe {time.perf_counter()-t0:.0f}s); "
               "waiting for a healthy window", file=sys.stderr, flush=True)
         time.sleep(60)
@@ -191,6 +196,12 @@ def main(opts=None):
     # per token position, B rows (no flip fold in training)
     train_tflops = 6 * params_n * B * F * J / train_elapsed / 1e12
 
+    # tertiary: END-TO-END evaluator throughput (windowing + flip prep +
+    # sampling + JPMA + all four P1 modes), with Protocol-2 off / on host
+    # numpy / on device — makes the host-side eval cost first-class
+    # (reference evaluate loop: main.py:596-794)
+    eval_e2e = _eval_e2e_bench(d3dp, params)
+
     print(
         json.dumps(
             {
@@ -207,12 +218,74 @@ def main(opts=None):
                     "train_frames_per_sec": round(train_frames_per_sec, 1),
                     "train_model_tflops_per_sec": round(train_tflops, 1),
                     "train_seconds_per_step": round(train_elapsed, 4),
+                    "eval_e2e": eval_e2e,
+                    "tunnel_degraded": tunnel_degraded,
                     "device": str(dev),
                     "baseline_basis": _baseline_basis(),
                 },
             }
         )
     )
+
+
+def _eval_e2e_bench(d3dp, params):
+    """Evaluated-sequences/s through the full Evaluator loop.
+
+    Three cells over the same synthetic sequences (5 seqs, 2165 frames,
+    11 windows -> 3 micro-batches at bs=4): Protocol-2 off, P2 on host
+    numpy (reference-parity path), P2 on device (--p2-device jnp SVD).
+    Each cell runs one warm-up pass (compile) and times a second pass;
+    averages_mm() inside the timed region forces the deferred device work
+    (EvalResult defers syncs). Failures are recorded per cell rather than
+    killing the primary metric.
+    """
+    import jax
+
+    from d3dp_tpu.data.generators import UnchunkedGenerator
+    from d3dp_tpu.data.synthetic import make_dataset, JOINTS_LEFT, JOINTS_RIGHT
+    from d3dp_tpu.eval import Evaluator
+
+    lengths = (300, 250, 400, 486, 729)
+    cams, p3, p2 = make_dataset(seed=3, lengths=lengths)
+    n_seq, n_frames = len(lengths), sum(lengths)
+    gen_kw = dict(kps_left=list(JOINTS_LEFT), kps_right=list(JOINTS_RIGHT),
+                  joints_left=list(JOINTS_LEFT), joints_right=list(JOINTS_RIGHT))
+
+    out = {"config": f"{n_seq} seqs / {n_frames} frames / bs=4 "
+                     f"H={H} K={K} flip_tta=on bf16"}
+    cells = (("p2_off", {}),
+             ("p2_host", {"p2": True}),
+             ("p2_device", {"p2_device": True}))
+    for name, kw in cells:
+        try:
+            ev = Evaluator(d3dp, receptive_field=F, batch_size=B,
+                           kps_left=list(JOINTS_LEFT),
+                           kps_right=list(JOINTS_RIGHT), **kw)
+
+            def run():
+                gen = UnchunkedGenerator(cams, p3, p2, augment=False, **gen_kw)
+                res = ev.evaluate(params, gen, jax.random.PRNGKey(11))
+                res.averages_mm()  # drain deferred device work
+                if kw:
+                    res.averages_p2_mm()
+                return res
+
+            run()  # compile + warm
+            t0 = time.perf_counter()
+            run()
+            dt = time.perf_counter() - t0
+            out[name] = {"sequences_per_sec": round(n_seq / dt, 2),
+                         "frames_per_sec": round(n_frames / dt, 1),
+                         "seconds": round(dt, 3)}
+        except Exception as e:  # noqa: BLE001 — cell-level fault isolation
+            out[name] = {"error": str(e)[:200]}
+    if "seconds" in out.get("p2_off", {}) and "seconds" in out.get("p2_host", {}):
+        out["p2_host_overhead_frac"] = round(
+            1.0 - out["p2_off"]["seconds"] / out["p2_host"]["seconds"], 3)
+    if "seconds" in out.get("p2_host", {}) and "seconds" in out.get("p2_device", {}):
+        out["p2_device_speedup_vs_host"] = round(
+            out["p2_host"]["seconds"] / out["p2_device"]["seconds"], 2)
+    return out
 
 
 def scaling_mode(n_devices):

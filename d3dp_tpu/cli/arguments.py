@@ -111,6 +111,13 @@ def build_parser(in_the_wild=False):
     parser.add_argument("-num_proposals", type=int, default=300, metavar="N")
     parser.add_argument("--debug", action="store_true", default=False)
     parser.add_argument("--p2", action="store_true", default=False)
+    parser.add_argument("--p2-device", action="store_true", default=False,
+                        help="compute Protocol-2 (Procrustes) inside the "
+                             "jitted eval step via batched jnp SVD instead "
+                             "of host numpy (implies --p2). Host numpy stays "
+                             "the default for bit-parity with the "
+                             "reference's LAPACK path (~1e-4 mm differences "
+                             "on ill-conditioned poses)")
 
     # ------------------------- TPU-native extensions -------------------------
     parser.add_argument("--dtype", default="float32",
@@ -231,6 +238,8 @@ def parse_args(argv=None, in_the_wild=False):
         parser.error("--num-hosts/--host-id require --coordinator-address "
                      "(without it, jax.distributed auto-detects the topology "
                      "and would silently ignore them)")
+    if args.p2_device:
+        args.p2 = True  # --p2-device implies Protocol-2 reporting
     return args
 
 

@@ -158,6 +158,7 @@ def run_evaluation(args, data, d3dp_eval, params, key, noise_provider=None,
         kps_left=data.kps_left,
         kps_right=data.kps_right,
         p2=args.p2,
+        p2_device=args.p2_device,
         quickdebug=args.debug,
         mesh=mesh,
     )

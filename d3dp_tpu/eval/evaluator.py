@@ -30,6 +30,11 @@ from d3dp_tpu.metrics.mpjpe import (
     mpjpe_diffusion_all_min,
     mpjpe_diffusion_reproj,
 )
+from d3dp_tpu.metrics.procrustes import (
+    p_mpjpe_diffusion,
+    p_mpjpe_diffusion_all_min,
+    p_mpjpe_diffusion_reproj,
+)
 from d3dp_tpu.metrics.procrustes_np import (
     p_mpjpe_diffusion_np,
     p_mpjpe_diffusion_all_min_np,
@@ -104,20 +109,27 @@ class EvalResult:
 class Evaluator:
     def __init__(self, d3dp, receptive_field=243, batch_size=4,
                  kps_left=None, kps_right=None, p2=False, quickdebug=False,
-                 light=False, mesh=None):
+                 light=False, mesh=None, p2_device=False):
         """`light=True` computes only P-Best (no JPMA reprojection) — the
         reference's end-of-epoch validation metric (main.py:455).
 
         `mesh`: optional jax.sharding.Mesh — eval windows (and the
         hypothesis batch folded into them) shard over its 'dp' axis; the
         jitted step then runs data-parallel with XLA inserting the metric
-        reductions' collectives. batch_size must divide by the dp size."""
+        reductions' collectives. batch_size must divide by the dp size.
+
+        `p2_device=True` (implies p2): Protocol-2 alignment runs INSIDE the
+        jitted eval step as a batched jnp SVD instead of on host numpy —
+        the hypothesis stack never leaves the device. Host numpy stays the
+        default for bit-parity with the reference's LAPACK path (fp32
+        LAPACK vs XLA SVD differ at ~1e-4 mm on ill-conditioned poses)."""
         self.d3dp = d3dp
         self.rf = receptive_field
         self.bs = batch_size
         self.kps_left = kps_left
         self.kps_right = kps_right
-        self.p2 = p2
+        self.p2 = p2 or p2_device
+        self.p2_device = p2_device
         self.quickdebug = quickdebug
         self.light = light
         self.mesh = mesh
@@ -179,9 +191,22 @@ class Evaluator:
                 preds, x3d, reproj, x2d, weights=weights
             ),
         }
+        errors_p2 = None
+        if self.p2_device:
+            # Protocol-2 stays on device: batched jnp SVD alignment
+            # (reference math loss.py:148-395, host round-trip removed)
+            errors_p2 = {
+                "J_Best": p_mpjpe_diffusion_all_min(preds, x3d,
+                                                    weights=weights),
+                "P_Best": p_mpjpe_diffusion(preds, x3d, weights=weights),
+                "P_Agg": p_mpjpe_diffusion_all_min(
+                    preds, x3d, mean_pos=True, weights=weights),
+                "J_Agg": p_mpjpe_diffusion_reproj(
+                    preds, x3d, reproj, x2d, weights=weights),
+            }
         if need_preds:
-            return errors, preds, reproj
-        return errors, None, None
+            return errors, errors_p2, preds
+        return errors, errors_p2, None
 
     # ------------------------------------------------------------------
     def evaluate(self, params, generator, key, return_predictions=False,
@@ -264,9 +289,10 @@ class Evaluator:
                 cams = put(np.tile(cam_vec, (bs, 1)))
 
                 key, sub = jax.random.split(key)
-                need_preds = self.p2 or return_predictions
+                need_preds = return_predictions or (
+                    self.p2 and not self.p2_device)
                 if noise_provider is None:
-                    errors, preds, _ = self._step(
+                    errors, errors_p2_dev, preds = self._step(
                         params, sub, take(w2d), take(w2d_f), take(w3d),
                         take(traj), cams, weights, need_preds=need_preds,
                     )
@@ -276,7 +302,7 @@ class Evaluator:
                     if self._batch_sharding is not None:
                         step_noises = jax.device_put(
                             step_noises, self._noise_sharding)
-                    errors, preds, _ = self._step_noise(
+                    errors, errors_p2_dev, preds = self._step_noise(
                         params, sub, take(w2d), take(w2d_f), take(w3d),
                         take(traj), cams, weights, put(img0),
                         jnp.asarray(step_noises), need_preds=need_preds,
@@ -291,7 +317,10 @@ class Evaluator:
                     continue
 
                 errors_p2 = None
-                if self.p2:
+                if self.p2_device:
+                    # device error vectors, deferred like the P1 dict
+                    errors_p2 = errors_p2_dev
+                elif self.p2:
                     # host slices, not np.asarray(take(...))[:n]: the
                     # unpadded rows are bit-identical and already in RAM —
                     # the device round-trip costs 3 tunnel transfers per

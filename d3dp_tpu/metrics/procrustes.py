@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 _PREC = "highest"  # this JAX build defaults to low-precision matmuls; P2 needs fp32
 
-from d3dp_tpu.metrics.mpjpe import _norm, joint_select_by_reproj
+from d3dp_tpu.metrics.mpjpe import _norm, _wmean, joint_select_by_reproj
 
 
 def procrustes_align(predicted, target):
@@ -75,31 +75,36 @@ def _align_hypotheses(predicted, target, mean_pos):
     return aligned.reshape(out_shape), target_b
 
 
-def p_mpjpe_diffusion(predicted, target, mean_pos=False):
-    """P-Best / P-Agg under Protocol 2, -> (K,). (loss.py:262-331)"""
+def p_mpjpe_diffusion(predicted, target, mean_pos=False, weights=None):
+    """P-Best / P-Agg under Protocol 2, -> (K,). (loss.py:262-331)
+
+    `weights`: optional (B,) 0/1 mask excluding padded windows (fixed-shape
+    eval micro-batches), mirroring the Protocol-1 family's contract.
+    """
     aligned, target_b = _align_hypotheses(predicted, target, mean_pos)
     errors = _norm(aligned - target_b)
     if not mean_pos:
-        per_kh = jnp.mean(errors, axis=(0, 3, 4))  # (K,H)
+        per_kh = _wmean(errors, weights, keep_axes=(1, 2))  # (K,H)
         return jnp.min(per_kh, axis=1)
-    return jnp.mean(errors, axis=(0, 2, 3))
+    return _wmean(errors, weights, keep_axes=(1,))
 
 
-def p_mpjpe_diffusion_all_min(predicted, target, mean_pos=False):
+def p_mpjpe_diffusion_all_min(predicted, target, mean_pos=False, weights=None):
     """J-Best / P-Agg under Protocol 2, -> (K,). (loss.py:190-260)"""
     aligned, target_b = _align_hypotheses(predicted, target, mean_pos)
     errors = _norm(aligned - target_b)
     if not mean_pos:
         min_errors = jnp.min(errors, axis=2)  # (B,K,F,J)
-        return jnp.mean(min_errors, axis=(0, 2, 3))
-    return jnp.mean(errors, axis=(0, 2, 3))
+        return _wmean(min_errors, weights, keep_axes=(1,))
+    return _wmean(errors, weights, keep_axes=(1,))
 
 
-def p_mpjpe_diffusion_reproj(predicted, target, reproj_2d, target_2d):
+def p_mpjpe_diffusion_reproj(predicted, target, reproj_2d, target_2d,
+                             weights=None):
     """J-Agg / JPMA under Protocol 2, -> (K,). (loss.py:333-395)"""
     aligned, target_b = _align_hypotheses(predicted, target, mean_pos=False)
     errors = _norm(aligned - target_b)  # (B,K,H,F,J)
     errors_2d = _norm(reproj_2d - target_2d[:, None, None])
     onehot = joint_select_by_reproj(errors_2d)
     errors_select = jnp.sum(errors * onehot, axis=2)
-    return jnp.mean(errors_select, axis=(0, 2, 3))
+    return _wmean(errors_select, weights, keep_axes=(1,))

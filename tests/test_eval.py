@@ -109,3 +109,27 @@ def test_sharded_noise_provider():
     for m in ("J_Best", "P_Best", "P_Agg", "J_Agg"):
         np.testing.assert_allclose(
             r1.averages_mm()[m], r2.averages_mm()[m], rtol=1e-5)
+
+
+def test_p2_device_matches_host():
+    """--p2-device (jnp SVD inside the jitted step) matches the host numpy
+    Protocol-2 path. fp32 LAPACK vs XLA SVD can differ at ~1e-4 on
+    ill-conditioned poses (procrustes_np.py docstring), so the tolerance is
+    loose in absolute mm but tight relative to the ~300 mm error scale.
+    Padded rows must be excluded identically: 100+80 frames at F=27 give a
+    final 3-window micro-batch padded to 4."""
+    d3dp, params, gen = make_setup()
+    kw = dict(receptive_field=F, batch_size=4, kps_left=JOINTS_LEFT,
+              kps_right=JOINTS_RIGHT)
+    r_host = Evaluator(d3dp, p2=True, **kw).evaluate(
+        params, gen(), jax.random.PRNGKey(7))
+    r_dev = Evaluator(d3dp, p2_device=True, **kw).evaluate(
+        params, gen(), jax.random.PRNGKey(7))
+    # identical sampling stream -> P1 numbers must agree exactly-ish
+    for m in ("J_Best", "P_Best", "P_Agg", "J_Agg"):
+        np.testing.assert_allclose(
+            r_host.averages_mm()[m], r_dev.averages_mm()[m], rtol=1e-5)
+    e_host, e_dev = r_host.averages_p2_mm(), r_dev.averages_p2_mm()
+    assert set(e_host) == set(e_dev) == {"J_Best", "P_Best", "P_Agg", "J_Agg"}
+    for m in e_host:
+        np.testing.assert_allclose(e_host[m], e_dev[m], rtol=2e-3, atol=5e-3)
