@@ -17,10 +17,23 @@ from d3dp_tpu.cli.main_h36m import _build_models
 from d3dp_tpu.data.windowing import window_sequence, stitch_windows
 
 
-def collect_predictions(d3dp, params, seq_2d, kps_left, kps_right, rf, bs, key):
-    """Sample every window of one sequence -> stitched (K, H, Ftot, J, 3)."""
+def collect_predictions(d3dp, params, seq_2d, kps_left, kps_right, rf, bs, key,
+                        mesh=None):
+    """Sample every window of one sequence -> stitched (K, H, Ftot, J, 3).
+
+    `mesh` (optional): window micro-batches shard over its 'dp' axis (padded
+    rows are dropped after the gather) — the TPU-native replacement for the
+    reference's DataParallel wrap around its eval model (main.py:246-248)."""
     import jax
     import jax.numpy as jnp
+
+    put = jnp.asarray
+    if mesh is not None:
+        from d3dp_tpu.parallel import batch_sharding, round_up_batch, put_global
+
+        bs = round_up_batch(bs, mesh)
+        sh = batch_sharding(mesh)
+        put = lambda x: put_global(np.asarray(x), sh)
 
     seq_2d_flip = seq_2d.copy()
     seq_2d_flip[..., 0] *= -1
@@ -41,7 +54,7 @@ def collect_predictions(d3dp, params, seq_2d, kps_left, kps_right, rf, bs, key):
             a = np.concatenate([a, np.repeat(a[:1], pad, 0)], 0)
             b = np.concatenate([b, np.repeat(b[:1], pad, 0)], 0)
         key, sub = jax.random.split(key)
-        out = np.asarray(sample(params, sub, jnp.asarray(a), jnp.asarray(b)))
+        out = np.asarray(sample(params, sub, put(a), put(b)))
         parts.append(out[: hi - lo])
     preds = np.concatenate(parts, axis=0)  # (W, K, H, rf, J, 3)
 
@@ -76,6 +89,16 @@ def main(argv=None):
                         depth=args.dep)
         params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
 
+    # multi-device by default, like every other entry point (the reference
+    # wraps its eval model in DataParallel unconditionally, main.py:246-248)
+    from d3dp_tpu.parallel import auto_mesh, shard_model_params
+
+    mesh = auto_mesh(args.dp, args.tp)
+    if mesh is not None:
+        print(f"INFO: {mesh.devices.size}-device mesh "
+              f"(dp={mesh.shape['dp']}, tp={mesh.shape['tp']})")
+    params = shard_model_params(params, mesh)
+
     subject = args.viz_subject or args.subjects_test.split(",")[0]
     action = args.viz_action or data.actions_of(subject)[0]
     cam_idx = args.viz_camera
@@ -88,7 +111,7 @@ def main(argv=None):
     preds = collect_predictions(
         d3dp_eval, params, seq_2d, data.kps_left, data.kps_right,
         args.number_of_frames, max(args.batch_size // args.number_of_frames, 1),
-        sub)  # (K,H,Ftot,J,3)
+        sub, mesh=mesh)  # (K,H,Ftot,J,3)
 
     # root-zero + reproject every hypothesis (main_draw.py:479-536)
     traj = seq_3d[:, :1].copy()
