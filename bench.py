@@ -44,6 +44,12 @@ def parse_args():
                    choices=[0, 1, 2, 3, 4, 5],
                    help="Pallas kernel-fusion ladder level (see "
                         "d3dp_tpu/models/mixste.py MixSTEConfig)")
+    p.add_argument("--train-batch", type=int, default=4,
+                   help="batch (chunks of 243 frames) for the secondary "
+                        "train metric; 4 = the reference eval-command batch "
+                        "semantics (main.py:325). The r5 batch-scaling "
+                        "curve (PERFORMANCE.md) shows where throughput "
+                        "saturates; pass a larger batch to reproduce it")
     p.add_argument("--dp", type=int, default=0,
                    help="scaling mode: shard the sampler over a dp-way mesh "
                         "of N VIRTUAL CPU devices and report relative "
@@ -181,20 +187,22 @@ def main(opts=None):
     tx = make_optimizer(6e-5)
     state = TrainState.create(d3dp_tr.init_params(jax.random.PRNGKey(0)), tx)
     step = make_train_step(d3dp_tr, tx, donate=False)
-    x3d = jnp.asarray(rng.randn(B, F, J, 3) * 0.3, jnp.float32)
-    w = jnp.ones((B,), jnp.float32)
-    state, loss = step(state, jax.random.PRNGKey(1), x2d, x3d, w)
+    Bt = max(opts.train_batch, 1)
+    x2d_tr = jnp.asarray(rng.randn(Bt, F, J, 2) * 0.3, jnp.float32)
+    x3d = jnp.asarray(rng.randn(Bt, F, J, 3) * 0.3, jnp.float32)
+    w = jnp.ones((Bt,), jnp.float32)
+    state, loss = step(state, jax.random.PRNGKey(1), x2d_tr, x3d, w)
     _ = float(loss)
     n_tr = 10
     start = time.perf_counter()
     for i in range(n_tr):
-        state, loss = step(state, jax.random.PRNGKey(2 + i), x2d, x3d, w)
+        state, loss = step(state, jax.random.PRNGKey(2 + i), x2d_tr, x3d, w)
     _ = float(loss)
     train_elapsed = (time.perf_counter() - start) / n_tr
-    train_frames_per_sec = B * F / train_elapsed
+    train_frames_per_sec = Bt * F / train_elapsed
     # achieved train FLOP rate: fwd (2P per token) + bwd (~2x fwd) = ~6P
-    # per token position, B rows (no flip fold in training)
-    train_tflops = 6 * params_n * B * F * J / train_elapsed / 1e12
+    # per token position, Bt rows (no flip fold in training)
+    train_tflops = 6 * params_n * Bt * F * J / train_elapsed / 1e12
 
     # tertiary: END-TO-END evaluator throughput (windowing + flip prep +
     # sampling + JPMA + all four P1 modes), with Protocol-2 off / on host
@@ -218,6 +226,7 @@ def main(opts=None):
                     "train_frames_per_sec": round(train_frames_per_sec, 1),
                     "train_model_tflops_per_sec": round(train_tflops, 1),
                     "train_seconds_per_step": round(train_elapsed, 4),
+                    "train_batch": Bt,
                     "eval_e2e": eval_e2e,
                     "tunnel_degraded": tunnel_degraded,
                     "device": str(dev),

@@ -69,8 +69,10 @@ def main():
         )
     )
     tx = make_optimizer(6e-5)
-    state0 = TrainState.create(d3dp.init_params(jax.random.PRNGKey(0)), tx)
+    params0 = d3dp.init_params(jax.random.PRNGKey(0))
+    state0 = TrainState.create(params0, tx)
     step = make_train_step(d3dp, tx, donate=False)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params0))
 
     def loss_value(params, key, x2d, x3d, w):
         x3d = x3d.at[:, :, 0].set(0.0)
@@ -119,7 +121,11 @@ def main():
         out = {"B": B, "ms_full_step": round(ms_step, 1),
                "ms_loss_fwd": round(ms_loss, 1),
                "ms_value_and_grad": round(ms_grad, 1),
-               "frames_per_sec": round(B * F / (ms_step / 1000), 1)}
+               "frames_per_sec": round(B * F / (ms_step / 1000), 1),
+               # fwd 2P + bwd ~4P per token position = 6P (bench.py's
+               # train-rate convention) — the batch-vs-MFU curve column
+               "model_tflops_per_sec": round(
+                   6 * n_params * B * F * J / (ms_step / 1000) / 1e12, 1)}
         results.append(out)
         print(json.dumps(out), flush=True)
 
