@@ -14,7 +14,8 @@ import numpy as np
 from d3dp_tpu.cli.arguments import parse_args, apply_platform_args
 from d3dp_tpu.cli.data_prep import prepare_data
 from d3dp_tpu.cli.main_h36m import _build_models
-from d3dp_tpu.data.windowing import window_sequence, stitch_windows
+from d3dp_tpu.data.windowing import (
+    window_sequence, stitch_windows, sample_windows)
 
 
 def collect_predictions(d3dp, params, seq_2d, kps_left, kps_right, rf, bs, key,
@@ -24,39 +25,14 @@ def collect_predictions(d3dp, params, seq_2d, kps_left, kps_right, rf, bs, key,
     `mesh` (optional): window micro-batches shard over its 'dp' axis (padded
     rows are dropped after the gather) — the TPU-native replacement for the
     reference's DataParallel wrap around its eval model (main.py:246-248)."""
-    import jax
-    import jax.numpy as jnp
-
-    put = jnp.asarray
-    if mesh is not None:
-        from d3dp_tpu.parallel import batch_sharding, round_up_batch, put_global
-
-        bs = round_up_batch(bs, mesh)
-        sh = batch_sharding(mesh)
-        put = lambda x: put_global(np.asarray(x), sh)
-
     seq_2d_flip = seq_2d.copy()
     seq_2d_flip[..., 0] *= -1
     seq_2d_flip[:, kps_left + kps_right] = seq_2d_flip[:, kps_right + kps_left]
 
     w2d = window_sequence(seq_2d, rf)
     w2d_f = window_sequence(seq_2d_flip, rf)
-    W = w2d.shape[0]
-
-    sample = jax.jit(lambda p, k, a, b: d3dp.sample(p, k, a, b))
-    parts = []
-    for lo in range(0, W, bs):
-        hi = min(lo + bs, W)
-        pad = bs - (hi - lo)
-        a = w2d[lo:hi]
-        b = w2d_f[lo:hi]
-        if pad:
-            a = np.concatenate([a, np.repeat(a[:1], pad, 0)], 0)
-            b = np.concatenate([b, np.repeat(b[:1], pad, 0)], 0)
-        key, sub = jax.random.split(key)
-        out = np.asarray(sample(params, sub, put(a), put(b)))
-        parts.append(out[: hi - lo])
-    preds = np.concatenate(parts, axis=0)  # (W, K, H, rf, J, 3)
+    preds = sample_windows(d3dp, params, w2d, w2d_f, bs, key,
+                           mesh=mesh)  # (W, K, H, rf, J, 3)
 
     Ftot = seq_2d.shape[0]
     K, H = preds.shape[1], preds.shape[2]

@@ -46,6 +46,43 @@ def stitch_windows(windows, total_frames):
     return out
 
 
+def sample_windows(d3dp, params, w2d, w2d_flip, bs, key, mesh=None):
+    """DDIM-sample every window micro-batch -> (W, K, H, rf, J, 3) numpy.
+
+    The shared window sampler behind main_draw's hypothesis collector and
+    the in-the-wild 2D-only pipeline: pads the final micro-batch to the
+    fixed shape (dropping the pad rows after the fetch), and under `mesh`
+    rounds bs up to the dp quantum and shards the batch axis — the
+    TPU-native replacement for the reference's DataParallel wrap
+    (main.py:246-248, videopose_diffusion.py:101).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    put = jnp.asarray
+    if mesh is not None:
+        from d3dp_tpu.parallel import batch_sharding, round_up_batch, put_global
+
+        bs = round_up_batch(bs, mesh)
+        sh = batch_sharding(mesh)
+        put = lambda x: put_global(np.asarray(x), sh)
+
+    W = w2d.shape[0]
+    sample = jax.jit(lambda p, k, a, b: d3dp.sample(p, k, a, b))
+    parts = []
+    for lo in range(0, W, bs):
+        hi = min(lo + bs, W)
+        pad = bs - (hi - lo)
+        a, b = w2d[lo:hi], w2d_flip[lo:hi]
+        if pad:
+            a = np.concatenate([a, np.repeat(a[:1], pad, 0)], 0)
+            b = np.concatenate([b, np.repeat(b[:1], pad, 0)], 0)
+        key, sub = jax.random.split(key)
+        out = np.asarray(sample(params, sub, put(a), put(b)))
+        parts.append(out[: hi - lo])
+    return np.concatenate(parts, axis=0)
+
+
 def window_batch(poses_2d, poses_3d, receptive_field, valid_frame=None):
     """Window a (T,J,2)/(T,J,3) pair (+optional (T,) valid mask) together."""
     w2d = window_sequence(poses_2d, receptive_field)

@@ -129,17 +129,8 @@ def sample_video_keypoints(d3dp, params, keypoints_norm, rf, bs, key,
     `mesh` (optional): windows shard over its 'dp' axis — the TPU-native
     replacement for the reference's DataParallel wrap
     (videopose_diffusion.py:101)."""
-    import jax
-    import jax.numpy as jnp
-    from d3dp_tpu.data.windowing import window_sequence, stitch_windows
-
-    put = jnp.asarray
-    if mesh is not None:
-        from d3dp_tpu.parallel import batch_sharding, round_up_batch, put_global
-
-        bs = round_up_batch(bs, mesh)
-        sh = batch_sharding(mesh)
-        put = lambda x: put_global(np.asarray(x), sh)
+    from d3dp_tpu.data.windowing import (
+        window_sequence, stitch_windows, sample_windows)
 
     kl, kr = COCO_METADATA["keypoints_symmetry"]
     seq_flip = keypoints_norm.copy()
@@ -148,21 +139,8 @@ def sample_video_keypoints(d3dp, params, keypoints_norm, rf, bs, key,
 
     w2d = window_sequence(keypoints_norm.astype(np.float32), rf)
     w2d_f = window_sequence(seq_flip.astype(np.float32), rf)
-    W = w2d.shape[0]
-
-    sample = jax.jit(lambda p, k, a, b: d3dp.sample(p, k, a, b))
-    parts = []
-    for lo in range(0, W, bs):
-        hi = min(lo + bs, W)
-        pad = bs - (hi - lo)
-        a, b = w2d[lo:hi], w2d_f[lo:hi]
-        if pad:
-            a = np.concatenate([a, np.repeat(a[:1], pad, 0)], 0)
-            b = np.concatenate([b, np.repeat(b[:1], pad, 0)], 0)
-        key, sub = jax.random.split(key)
-        out = np.asarray(sample(params, sub, put(a), put(b)))
-        parts.append(out[: hi - lo])
-    preds = np.concatenate(parts, 0)  # (W,K,H,rf,J,3)
+    preds = sample_windows(d3dp, params, w2d, w2d_f, bs, key,
+                           mesh=mesh)  # (W,K,H,rf,J,3)
 
     Ftot = keypoints_norm.shape[0]
     K, H = preds.shape[1], preds.shape[2]

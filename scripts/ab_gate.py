@@ -20,10 +20,8 @@ Smoke (CPU): python scripts/ab_gate.py --small --platform cpu
 """
 
 import argparse
-import glob
 import json
 import os
-import re
 import sys
 import time
 
@@ -55,18 +53,19 @@ def parse():
 
 
 def resolve(path):
-    """File -> itself; dir -> newest epoch_* (pickle or orbax), else best."""
-    if not os.path.isdir(path):
+    """Checkpoint path -> itself; checkpoint DIR -> latest_checkpoint
+    (newest epoch_*, else best_epoch — the same resolver `-r auto` uses).
+    Note orbax checkpoints are themselves directories, hence the suffix
+    test rather than isdir alone."""
+    if not os.path.isdir(path) or path.rstrip("/").endswith(
+            (".ckpt", ".orbax", ".bin")):
         return path
-    cands = (glob.glob(os.path.join(path, "epoch_*.ckpt"))
-             + glob.glob(os.path.join(path, "epoch_*.orbax")))
-    if cands:
-        return max(cands, key=lambda p: int(re.findall(r"epoch_(\d+)", p)[0]))
-    for name in ("best_epoch.ckpt", "best_epoch.orbax"):
-        c = os.path.join(path, name)
-        if os.path.exists(c):
-            return c
-    sys.exit(f"no checkpoint under {path}")
+    from d3dp_tpu.train.checkpoint_io import latest_checkpoint
+
+    found = latest_checkpoint(path)
+    if not found:
+        sys.exit(f"no checkpoint under {path}")
+    return found
 
 
 def train_log_tail(ckpt_path, n=5):

@@ -29,26 +29,31 @@ sys.path.insert(0, ROOT)
 
 
 def categorize(name):
-    """HLO-op name -> coarse category (mirrors the r2 profile's rows)."""
+    """HLO-op name -> coarse category (mirrors the r2 profile's rows).
+
+    Order matters: 'convert' must be tested before the matmul patterns
+    (a bare "conv" substring test would swallow every convert op) and
+    matmul detection is anchored to dot/convolution tokens only.
+    """
     n = name.lower()
     if "custom-call" in n or "custom_call" in n or "tpu_custom_call" in n \
             or "mosaic" in n:
         return "pallas kernels (custom-call)"
-    if n.startswith("%dot") or ".dot" in n or "dot_general" in n \
-            or n.startswith("dot") or "conv" in n:
+    if "convert" in n:
+        return "converts"
+    if "all-reduce" in n or "all-gather" in n or "collective" in n \
+            or "reduce-scatter" in n:
+        return "collectives"
+    if re.search(r"(^|%|\b)dot(\b|\.|_general)", n) or "convolution" in n:
         return "matmuls"
     if "copy" in n:
         return "copies"
     if "reshape" in n or "bitcast" in n or "transpose" in n:
         return "reshapes/transposes"
-    if "convert" in n:
-        return "converts"
     if "reduce" in n:
         return "reduce fusions (LN-like)"
     if "fusion" in n:
         return "elementwise fusions"
-    if "all-reduce" in n or "all-gather" in n or "collective" in n:
-        return "collectives"
     return "other"
 
 
@@ -63,27 +68,47 @@ def parse_trace(trace_dir, n_iters):
         trace = json.load(f)
     events = trace.get("traceEvents", [])
 
-    # device lanes: processes whose name mentions the TPU/device; the
-    # XLA-op rows live in threads named like "XLA Ops"/"Steps"/TensorCore
-    proc_names = {}
+    # Device lanes: processes whose name mentions the TPU/device. A device
+    # process holds SEVERAL overlapping lanes ("Steps", "XLA Modules",
+    # "XLA Ops"...) — one module-level event spans the same wall time as
+    # all its per-op events, so summing every lane double-counts. Keep only
+    # the per-op lane ("XLA Ops" threads); fall back to all lanes minus the
+    # obviously aggregate ones when the trace names threads differently.
+    proc_names, thread_names = {}, {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             proc_names[e.get("pid")] = e.get("args", {}).get("name", "")
+        elif e.get("name") == "thread_name":
+            thread_names[(e.get("pid"), e.get("tid"))] = (
+                e.get("args", {}).get("name", ""))
     device_pids = {pid for pid, nm in proc_names.items()
                    if re.search(r"tpu|device|/device:|tensorcore", nm,
                                 re.IGNORECASE)}
+    op_lanes = {key for key, nm in thread_names.items()
+                if key[0] in device_pids and re.search(
+                    r"xla ops", nm, re.IGNORECASE)}
+    aggregate_lanes = {key for key, nm in thread_names.items()
+                       if key[0] in device_pids and re.search(
+                           r"steps|modules|framework|scope", nm,
+                           re.IGNORECASE)}
+
+    def in_scope(e):
+        key = (e.get("pid"), e.get("tid"))
+        if op_lanes:
+            return key in op_lanes
+        if device_pids:
+            return key[0] in device_pids and key not in aggregate_lanes
+        # last resort (no metadata): keep HLO-looking rows only
+        name = e.get("name", "")
+        return name.startswith("%") or "fusion" in name or "custom" in name
 
     cats, ops, total = {}, {}, 0.0
     for e in events:
-        if e.get("ph") != "X" or "dur" not in e:
-            continue
-        if device_pids and e.get("pid") not in device_pids:
+        if e.get("ph") != "X" or "dur" not in e or not in_scope(e):
             continue
         name = e.get("name", "")
-        # skip host-side python/runtime rows if pids were indistinct
-        if not device_pids and not name.startswith("%") \
-                and "fusion" not in name and "custom" not in name:
-            continue
         dur_ms = e["dur"] / 1000.0
         total += dur_ms
         cats[categorize(name)] = cats.get(categorize(name), 0.0) + dur_ms
@@ -94,6 +119,9 @@ def parse_trace(trace_dir, n_iters):
     return {
         "trace_file": path,
         "device_lanes": sorted(proc_names[p] for p in device_pids),
+        "op_lanes": sorted(thread_names[k] for k in op_lanes) or
+                    "(no 'XLA Ops' lane found — using all device lanes "
+                    "minus aggregates)",
         "total_device_ms_per_fwd": round(total / n_iters, 2),
         "categories_ms_per_fwd": {k: round(v / n_iters, 2)
                                   for k, v in sorted(cats.items(),

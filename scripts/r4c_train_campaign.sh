@@ -32,5 +32,7 @@ run dpf   D3DP_TRAIN_FUSED=1 timeout 2400 python scripts/train_lab.py --dpr 0.1 
 run dpr00 D3DP_TRAIN_FUSED=1 timeout 2400 python scripts/train_lab.py --dpr 0.0 --batches 4
 run ctlB  timeout 2400 python scripts/train_lab.py --dpr 0.1 --batches 4
 wait_healthy
-run bench timeout 3000 python bench.py
+# 7200: bench now also runs the eval-e2e cells (3 evaluator compiles) and
+# may wait out up to ~16 min of degraded probes before measuring
+run bench timeout 7200 python bench.py
 echo "CAMPAIGN DONE $(date)"

@@ -53,3 +53,21 @@ def test_campaign_shell_syntax():
     for sh in glob.glob(os.path.join(REPO, "scripts", "*.sh")):
         r = run(["bash", "-n", sh])
         assert r.returncode == 0, (sh, r.stderr)
+
+
+@pytest.mark.slow
+def test_ab_gate_smoke():
+    """The bf16-train convergence gate harness runs end-to-end at tiny dims
+    (fresh per-arm random weights) and emits the verdict JSON."""
+    r = run([sys.executable, "scripts/ab_gate.py", "--small",
+             "--platform", "cpu", "--out", "/tmp/ab_gate_smoke.json"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = last_json(r.stdout)
+    assert set(d) == {"gate_pass", "final_step_deltas"}
+    assert set(d["final_step_deltas"]) == {"J_Best", "P_Best", "P_Agg",
+                                           "J_Agg"}
+    with open("/tmp/ab_gate_smoke.json") as f:
+        full = json.load(f)
+    assert full["criterion"].startswith("per mode")
+    # distinct random weights per arm: the smoke must exercise real deltas
+    assert any(v["delta_mm"] != 0 for v in d["final_step_deltas"].values())
