@@ -237,16 +237,18 @@ def main(opts=None):
     )
 
 
-def _eval_e2e_bench(d3dp, params):
+def _eval_e2e_bench(d3dp, params, rf=F, bs=B, lengths=(300, 250, 400, 486, 729),
+                    label=f"H={H} K={K} flip_tta=on bf16"):
     """Evaluated-sequences/s through the full Evaluator loop.
 
-    Three cells over the same synthetic sequences (5 seqs, 2165 frames,
-    11 windows -> 3 micro-batches at bs=4): Protocol-2 off, P2 on host
-    numpy (reference-parity path), P2 on device (--p2-device jnp SVD).
+    Three cells over the same synthetic sequences (default: 5 seqs, 2165
+    frames, 11 windows -> 3 micro-batches at bs=4): Protocol-2 off, P2 on
+    host numpy (reference-parity path), P2 on device (--p2-device jnp SVD).
     Each cell runs one warm-up pass (compile) and times a second pass;
     averages_mm() inside the timed region forces the deferred device work
     (EvalResult defers syncs). Failures are recorded per cell rather than
-    killing the primary metric.
+    killing the primary metric. rf/bs/lengths are parameters so the CPU
+    test suite can smoke this exact code path at tiny dims.
     """
     import jax
 
@@ -254,20 +256,18 @@ def _eval_e2e_bench(d3dp, params):
     from d3dp_tpu.data.synthetic import make_dataset, JOINTS_LEFT, JOINTS_RIGHT
     from d3dp_tpu.eval import Evaluator
 
-    lengths = (300, 250, 400, 486, 729)
     cams, p3, p2 = make_dataset(seed=3, lengths=lengths)
     n_seq, n_frames = len(lengths), sum(lengths)
     gen_kw = dict(kps_left=list(JOINTS_LEFT), kps_right=list(JOINTS_RIGHT),
                   joints_left=list(JOINTS_LEFT), joints_right=list(JOINTS_RIGHT))
 
-    out = {"config": f"{n_seq} seqs / {n_frames} frames / bs=4 "
-                     f"H={H} K={K} flip_tta=on bf16"}
+    out = {"config": f"{n_seq} seqs / {n_frames} frames / bs={bs} {label}"}
     cells = (("p2_off", {}),
              ("p2_host", {"p2": True}),
              ("p2_device", {"p2_device": True}))
     for name, kw in cells:
         try:
-            ev = Evaluator(d3dp, receptive_field=F, batch_size=B,
+            ev = Evaluator(d3dp, receptive_field=rf, batch_size=bs,
                            kps_left=list(JOINTS_LEFT),
                            kps_right=list(JOINTS_RIGHT), **kw)
 

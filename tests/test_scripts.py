@@ -71,3 +71,28 @@ def test_ab_gate_smoke():
     assert full["criterion"].startswith("per mode")
     # distinct random weights per arm: the smoke must exercise real deltas
     assert any(v["delta_mm"] != 0 for v in d["final_step_deltas"].values())
+
+
+def test_bench_eval_e2e_cells_tiny():
+    """bench.py's eval-e2e helper (sequences/s with P2 off/host/device) at
+    tiny dims: all three cells must produce numbers, not error records, and
+    the device-P2 cell must not silently skip P2 (in-process; conftest's
+    8-virtual-CPU backend)."""
+    import jax
+    import bench
+    from d3dp_tpu.diffusion import D3DP, D3DPConfig
+    from d3dp_tpu.models import MixSTEConfig
+    from d3dp_tpu.data.synthetic import JOINTS_LEFT, JOINTS_RIGHT
+
+    d3dp = D3DP(D3DPConfig(
+        model=MixSTEConfig(num_frames=27, embed_dim=64, depth=2),
+        num_proposals=2, sampling_timesteps=2,
+        joints_left=tuple(JOINTS_LEFT), joints_right=tuple(JOINTS_RIGHT)))
+    params = d3dp.init_params(jax.random.PRNGKey(0))
+    out = bench._eval_e2e_bench(d3dp, params, rf=27, bs=4,
+                                lengths=(60, 45), label="tiny")
+    for cell in ("p2_off", "p2_host", "p2_device"):
+        assert "error" not in out[cell], out[cell]
+        assert out[cell]["sequences_per_sec"] > 0
+    assert "p2_host_overhead_frac" in out
+    assert "p2_device_speedup_vs_host" in out
