@@ -150,10 +150,12 @@ def build_parser(in_the_wild=False):
                              "deep transformer blocks every N sampling steps "
                              "(and ALWAYS on the final step) and reuse their "
                              "cached contribution in between (0/1 = off, "
-                             "exact reference semantics). Measured "
-                             "(PERFORMANCE.md r3/r4): K=5: N=2 costs "
-                             "+0.2mm for 1.3x; K=20: N=5 is accuracy-"
-                             "neutral at 2.14x. Eval only.")
+                             "exact reference semantics). ACCURACY DIAL, "
+                             "not free speed: on a converged model every "
+                             "interval >=2 costs real mm (r5 tables in "
+                             "PERFORMANCE.md; the earlier 'neutral at "
+                             "2.14x' was an unconverged-checkpoint "
+                             "artifact, retracted). Eval only.")
     parser.add_argument("--ddim-reuse-tap", type=int, default=2, metavar="D",
                         help="with --ddim-reuse: number of shallow block "
                              "pairs computed fresh on reuse steps (1..dep)")

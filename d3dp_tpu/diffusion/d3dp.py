@@ -50,8 +50,10 @@ def reuse_schedule(n_steps, interval):
     """Which DDIM steps run the FULL model under feature reuse: every
     `interval`-th step — and always the final step, whose x_start is the
     headline prediction (leaving it reused is what made interval-2 diverge
-    at K=10 while interval-3, which happens to refresh step K-1, was
-    accuracy-neutral at 1.7x; r4 quantification, PERFORMANCE.md)."""
+    at K=10 while interval-3, which happens to refresh step K-1, looked
+    neutral; r4 quantification). NOTE the r5 converged-model rerun found
+    ALL fixed intervals >=2 cost accuracy regardless of this fix — reuse
+    is an accuracy/speed dial, not a free win (PERFORMANCE.md r5)."""
     sched = jnp.arange(n_steps)
     return ((sched % interval) == 0) | (sched == n_steps - 1)
 

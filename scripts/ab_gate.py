@@ -48,6 +48,12 @@ def parse():
                         "test split depends on it")
     p.add_argument("--eval-dtype", default="bfloat16",
                    help="held fixed across both arms (isolates training)")
+    p.add_argument("--key", type=int, default=23,
+                   help="eval PRNG seed (same for both arms). Rerunning the "
+                        "gate under several keys separates DDIM sampling "
+                        "noise from a systematic training-path difference — "
+                        "the oracle-min modes (J_Best) are tail statistics "
+                        "and fluctuate more than the deployed J_Agg")
     p.add_argument("--out", default="")
     return p.parse_args()
 
@@ -143,7 +149,7 @@ def main():
         gen = UnchunkedGenerator(cams, p3, p2, augment=False, **gen_args)
         t0 = time.perf_counter()
         # SAME key both arms: identical DDIM noise, delta is the weights
-        res = ev.evaluate(params, gen, jax.random.PRNGKey(23))
+        res = ev.evaluate(params, gen, jax.random.PRNGKey(opts.key))
         e = {m: [round(float(x), 3) for x in v]
              for m, v in res.averages_mm().items()}
         arms[name] = {
@@ -168,7 +174,7 @@ def main():
     verdict = {
         "gate": "bf16_train_convergence",
         "config": f"H={opts.proposals} K={opts.steps} eval={opts.eval_dtype} "
-                  f"subjects={opts.subjects} frames={frames}",
+                  f"subjects={opts.subjects} frames={frames} key={opts.key}",
         "final_step_deltas": deltas,
         "pass": passed,
         "criterion": "per mode, final DDIM step: |bf16-fp32| <= "

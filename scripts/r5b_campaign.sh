@@ -42,4 +42,28 @@ wait_healthy
 run reuse_overfit_K20 timeout 7200 python scripts/quantify_reuse.py \
   --ckpt "$QO/best_epoch.orbax" --proposals 20 --steps 20 \
   --out /tmp/r5_reuse_overfit_K20.json
+
+# ---- A/B gate adjudication (the J_Best +2.0mm cell) -----------------
+# The r5 gate failed ONLY J_Best (+1.97mm vs 1.36 tol; the deployed
+# J_Agg was BETTER under bf16 by 0.6mm). J_Best is a per-joint oracle
+# min over 20 hypotheses — a tail statistic. Two noise baselines decide
+# whether +2mm is systematic or run noise:
+#   keyB/keyC  — same checkpoints, different DDIM eval keys (sampling
+#                noise component)
+#   fp32drift  — fp32 epoch_110 vs fp32 epoch_120 (SAME arm, adjacent
+#                checkpoints: weight-trajectory noise on the statistic;
+#                the JSON's fp32/bf16 labels here mean e110/e120)
+QF="$HOME/.cache/d3dp_tpu/ckpts/r5_fp32"
+QB="$HOME/.cache/d3dp_tpu/ckpts/r5_bf16"
+wait_healthy
+run abgate_keyB timeout 7200 python scripts/ab_gate.py \
+  --ckpt-fp32 "$QF" --ckpt-bf16 "$QB" --key 101 \
+  --out /tmp/r5_ab_gate_keyB.json
+run abgate_keyC timeout 7200 python scripts/ab_gate.py \
+  --ckpt-fp32 "$QF" --ckpt-bf16 "$QB" --key 202 \
+  --out /tmp/r5_ab_gate_keyC.json
+wait_healthy
+run fp32drift timeout 7200 python scripts/ab_gate.py \
+  --ckpt-fp32 "$QF/epoch_110.ckpt" --ckpt-bf16 "$QF/epoch_120.ckpt" \
+  --out /tmp/r5_ab_gate_fp32drift.json
 echo "CAMPAIGN DONE $(date)"
